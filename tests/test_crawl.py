@@ -1,0 +1,160 @@
+"""Crawl-level equality vs the pure-Python oracle BFS (the stand-in for
+the Go reference binary): URL-seen set, crawl order, depth assignment,
+failure handling, depth limits, checkpoint/resume, parallelism
+invariance. Mirrors the reference's crawler behavior suite
+(reference: internal/crawler/comprehensive_test.go, crawler_test.go)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from urlmap_spark.plans.crawl import CrawlConfig, crawl
+from urlmap_spark.plans.oracle import oracle_bfs
+from urlmap_spark.sources import corpus as C
+
+
+def run_both(spark, pdf, seed, **kw):
+    cdf = spark.createDataFrame(pdf)
+    run = crawl(spark, cdf, seed, CrawlConfig(**kw))
+    got = [(r["url"], r["depth"], r["order"], r["ok"])
+           for r in run.results.orderBy("order").collect()]
+    eres, estats = oracle_bfs(
+        pdf, seed,
+        max_depth=kw.get("max_depth", -1),
+        same_domain=kw.get("same_domain", True),
+        same_path_prefix=kw.get("same_path_prefix", True),
+    )
+    exp = [(r.url, r.depth, r.order, r.ok) for r in eres]
+    return got, exp, run, estats
+
+
+def test_basic_site_order_and_depth(spark):
+    got, exp, _, _ = run_both(spark, C.basic_site_pandas(), "https://basic.test/")
+    assert got == exp
+    assert len(got) == 4
+
+
+def test_unnormalized_seed(spark):
+    """Seed normalization (reference: crawler.go:494-501): fragment and
+    trailing slash must not change the crawl."""
+    base, expb, _, _ = run_both(spark, C.basic_site_pandas(), "https://basic.test/")
+    got, exp, _, _ = run_both(spark, C.basic_site_pandas(), "https://basic.test/#frag")
+    assert got == exp == base == expb
+
+
+@pytest.mark.parametrize("max_depth", [0, 1, 2, -1])
+def test_nested_depth_limits(spark, max_depth):
+    got, exp, _, _ = run_both(
+        spark, C.nested_depth_site_pandas(), "https://nested.test/", max_depth=max_depth)
+    assert got == exp
+    if max_depth >= 0:
+        assert max(d for _, d, _, _ in got) <= max_depth
+
+
+def test_generated_corpus_domain_scope(spark):
+    pdf = C.corpus_pandas(seed=42, n_hosts=4, total_pages=60, with_bytes=False)
+    got, exp, run, estats = run_both(
+        spark, pdf, "https://h0.example-42.test/",
+        max_depth=3, same_path_prefix=False)
+    assert got == exp
+    # failed fetches are kept in results (reference: crawler.go:215)
+    assert any(not ok for _, _, _, ok in got)
+    # nothing escaped the seed domain
+    assert all(url.startswith("https://h0.example-42.test") for url, _, _, _ in got)
+    m_crawled = sum(m["crawled"] for m in run.metrics)
+    m_failed = sum(m["failed"] for m in run.metrics)
+    assert m_crawled == estats["crawled"] and m_failed == estats["failed"]
+
+
+def test_path_prefix_scope(spark):
+    """same_path_prefix keeps the crawl under the seed's directory."""
+    host = "pp.test"
+
+    def row(path, hrefs):
+        return {"image_id": f"{host}{path}", "bytes": None, "w": 32, "h": 32,
+                "fmt": "ppm", "caption": " ".join(f'href="{h}"' for h in hrefs),
+                "phash": 0, "url": f"https://{host}{path}", "status": 200}
+
+    # corpus URL keys are canonical (normalized) forms — the seed
+    # "https://pp.test/docs/" normalizes to ".../docs" and must hit this row
+    pdf = pd.DataFrame([
+        row("/docs", ["/docs/a", "/docs/b", "/api/x", "/documentation/y"]),
+        row("/docs/a", ["/docs/b", "/"]),
+        row("/docs/b", []),
+        row("/api/x", ["/docs/a"]),
+    ], columns=C.CORPUS_COLUMNS)
+    got, exp, _, _ = run_both(spark, pdf, "https://pp.test/docs/")
+    assert got == exp
+    urls = [u for u, _, _, _ in got]
+    assert "https://pp.test/api/x" not in urls
+    assert "https://pp.test/documentation/y" not in urls
+    assert set(urls) == {"https://pp.test/docs", "https://pp.test/docs/a", "https://pp.test/docs/b"}
+
+
+def test_parallelism_invariance(spark):
+    """Same crawl, shuffled/repartitioned input, different partitioning —
+    identical order (determinism under parallelism, SURVEY.md §7)."""
+    pdf = C.corpus_pandas(seed=7, n_hosts=3, total_pages=40, with_bytes=False)
+    cdf1 = spark.createDataFrame(pdf).repartition(1)
+    cdf2 = spark.createDataFrame(pdf.sample(frac=1.0, random_state=3)).repartition(16)
+    cfg = CrawlConfig(max_depth=4, same_path_prefix=False)
+    r1 = crawl(spark, cdf1, "https://h0.example-7.test/", cfg)
+    r2 = crawl(spark, cdf2, "https://h0.example-7.test/", cfg)
+    a = [(r["url"], r["depth"], r["order"]) for r in r1.results.orderBy("order").collect()]
+    b = [(r["url"], r["depth"], r["order"]) for r in r2.results.orderBy("order").collect()]
+    assert a == b
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill-between-rounds -> resume -> identical final output
+    (SURVEY.md §7 M5; north_rule checkpoint/resume)."""
+    pdf = C.corpus_pandas(seed=42, n_hosts=4, total_pages=60, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed = "https://h0.example-42.test/"
+
+    full = crawl(spark, cdf, seed, CrawlConfig(max_depth=3, same_path_prefix=False))
+    expect = [(r["url"], r["depth"], r["order"]) for r in full.results.orderBy("order").collect()]
+
+    # run only 2 rounds, then resume from checkpoint
+    ck = str(tmp_path / "ckpt")
+    partial = crawl(spark, cdf, seed, CrawlConfig(
+        max_depth=3, same_path_prefix=False, checkpoint_dir=ck, max_rounds=2))
+    assert partial.rounds == 2
+    resumed = crawl(spark, cdf, seed, CrawlConfig(
+        max_depth=3, same_path_prefix=False, checkpoint_dir=ck), resume=True)
+    got = [(r["url"], r["depth"], r["order"]) for r in resumed.results.orderBy("order").collect()]
+    assert got == expect
+    # lineage table exists per committed round
+    from urlmap_spark.sources.catalog import RoundCatalog
+    cat = RoundCatalog(ck)
+    assert cat.committed_rounds() == list(range(resumed.rounds))
+    lin = cat.read_union(spark, "lineage")
+    assert {"host", "n", "min_order", "max_order"} <= set(lin.columns)
+
+
+def test_seen_set_equality(spark):
+    pdf = C.corpus_pandas(seed=42, n_hosts=4, total_pages=60, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    run = crawl(spark, cdf, "https://h0.example-42.test/",
+                CrawlConfig(max_depth=3, same_path_prefix=False))
+    _, estats = None, None
+    eres, estats = oracle_bfs(pdf, "https://h0.example-42.test/",
+                              max_depth=3, same_path_prefix=False)
+    # seen = everything ever enqueued (incl. beyond-depth discoveries)
+    spark_seen = {r["url"] for r in run.seen.distinct().collect()}
+    assert len(spark_seen) == estats["total"]
+
+
+def test_bytes_column_pruned(spark):
+    """The crawl plan must never read the heavy `bytes` column — check the
+    optimized plan's ReadSchema on a parquet-backed corpus."""
+    pdf = C.corpus_pandas(seed=9, n_hosts=2, total_pages=12, with_bytes=True)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(d + "/corpus")
+        cdf = spark.read.parquet(d + "/corpus")
+        web = cdf.select("url", "caption", "status")
+        frontier = spark.createDataFrame([("https://h0.example-9.test/", 0, 0)],
+                                         "url string, depth int, `order` long")
+        plan = frontier.join(web, "url", "left")._jdf.queryExecution().executedPlan().toString()
+        assert "bytes" not in plan

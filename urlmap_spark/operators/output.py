@@ -1,0 +1,100 @@
+"""Output post-processing: dedup, sort, and the four output formats.
+
+Mirrors the reference's output stage (reference: internal/output/
+output.go:44-211): URLs from ALL results (crawled and failed,
+main.go:227-230), first-occurrence dedup, lexicographic sort, then
+text / json / csv / xml rendering. The global sort is a range-
+partitioned Spark sort — no single-node funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RFC3339 = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
+def unique_sorted_urls(results: DataFrame, url_col: str = "url") -> DataFrame:
+    """dedup -> lexicographic sort (reference: output.go:44-57, :105-109).
+    The reference's order-preserving dedup (output.go:60-78) is followed
+    by a sort, so dropDuplicates is semantically identical here."""
+    return results.select(url_col).dropDuplicates([url_col]).orderBy(url_col)
+
+
+def dedup_preserving_order(results: DataFrame, url_col: str = "url",
+                           order_col: str = "order") -> DataFrame:
+    """First-occurrence-order dedup (reference: output.go:60-78)."""
+    w = Window.partitionBy(url_col).orderBy(order_col)
+    return (
+        results.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def successful_urls(results: DataFrame) -> DataFrame:
+    """URLs whose fetch succeeded (reference: crawler.go:425-433)."""
+    return results.filter(F.col("ok")).select("url")
+
+
+def all_urls(results: DataFrame) -> DataFrame:
+    """Crawled AND failed URLs (reference: crawler.go:416-422)."""
+    return results.select("url")
+
+
+def format_text(urls: DataFrame) -> DataFrame:
+    return urls.select(F.col("url").alias("value"))
+
+
+def format_json(urls: DataFrame, ts_col=None) -> DataFrame:
+    """One output row: the reference's JSON envelope
+    {urls:[{url,timestamp,depth?}], timestamp, total} (output.go:132-155)."""
+    ts = ts_col if ts_col is not None else F.current_timestamp()
+    rows = urls.select(F.struct(
+        F.col("url"), F.date_format(ts, RFC3339).alias("timestamp")
+    ).alias("u"), F.col("url").alias("_k"))
+    return rows.agg(
+        F.to_json(F.struct(
+            F.sort_array(F.collect_list("u")).alias("urls"),
+            F.date_format(F.current_timestamp(), RFC3339).alias("timestamp"),
+            F.count("*").alias("total"),
+        )).alias("value")
+    )
+
+
+def format_csv(urls: DataFrame, ts_col=None) -> DataFrame:
+    """url,timestamp rows; header handled by the csv writer
+    (reference: output.go:158-180)."""
+    ts = ts_col if ts_col is not None else F.current_timestamp()
+    return urls.select("url", F.date_format(ts, RFC3339).alias("timestamp"))
+
+
+def format_xml(urls: DataFrame, ts_col=None) -> DataFrame:
+    """XML envelope rendered with native string expressions
+    (reference: output.go:183-211). One row per URL plus header/footer
+    assembled at write time by xml_document()."""
+    return urls.select(
+        F.format_string('  <url><loc>%s</loc></url>',
+                        F.regexp_replace(F.regexp_replace("url", "&", "&amp;"), "<", "&lt;"))
+        .alias("value")
+    )
+
+
+def xml_document(urls: DataFrame) -> str:
+    """Small-result convenience: full XML document as one string."""
+    body = "\n".join(r["value"] for r in format_xml(urls).collect())
+    return f'<?xml version="1.0" encoding="UTF-8"?>\n<crawloutput>\n{body}\n</crawloutput>'
+
+
+def write_output(urls: DataFrame, path: str, fmt: str = "text") -> None:
+    if fmt == "text":
+        format_text(urls).coalesce(1).write.mode("overwrite").text(path)
+    elif fmt == "json":
+        format_json(urls).coalesce(1).write.mode("overwrite").text(path)
+    elif fmt == "csv":
+        format_csv(urls).coalesce(1).write.mode("overwrite").csv(path, header=True)
+    elif fmt == "xml":
+        with open(path, "w") as f:
+            f.write(xml_document(urls))
+    else:
+        raise ValueError(f"unsupported output format: {fmt}")  # output.go:112-129

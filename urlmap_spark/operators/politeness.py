@@ -1,0 +1,86 @@
+"""Politeness as a plan property: per-host quotas and a global cap.
+
+The reference enforces politeness with wall-clock sleeps (crawl-delay,
+reference: internal/crawler/crawler.go:603-606) and a token-bucket rate
+limiter (reference: internal/progress/progress.go:108-159). In a batch
+engine those become DETERMINISTIC per-round budgets: a host with
+crawl-delay d gets floor(round_budget / d) fetches per round; the global
+rate limit R becomes a cap of R * round_budget rows per round. Overflow
+rows are never dropped — they stay in the frontier for the next round
+(delays, never drops: the final URL-seen set is unchanged).
+
+Skew note (north_rule): the per-host top-k is a two-phase window —
+rank within (host, salt) first, then re-rank the per-salt survivors per
+host. Hot Zipf hosts therefore never concentrate in one task. Salting
+kicks in only above ``salt_threshold`` rows per host (cheap hosts take
+the single-phase path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    host_quota: DataFrame | None = None,
+    default_quota: int | None = None,
+    global_cap: int | None = None,
+    order_col: str = "order",
+    n_salts: int = 16,
+    salt_threshold: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (scheduled, deferred).
+
+    host_quota: optional DataFrame(host, quota int) — e.g. derived from
+    robots crawl-delay as floor(budget_s / crawl_delay_s).
+    default_quota: quota for hosts absent from host_quota (None = no limit).
+    global_cap: max scheduled rows per round (None = no limit); lowest
+    ``order`` (earliest-discovered) rows win, matching FIFO semantics.
+    """
+    f = frontier.withColumn("_host", F.expr("try_parse_url(url, 'HOST')"))
+    if host_quota is not None or default_quota is not None:
+        if host_quota is not None:
+            f = f.join(F.broadcast(host_quota.select(F.col("host").alias("_host"), "quota")),
+                       "_host", "left")
+            f = f.withColumn("quota", F.coalesce(F.col("quota"), F.lit(default_quota)))
+        else:
+            f = f.withColumn("quota", F.lit(default_quota))
+        # phase 1: rank within (host, salt) — bounds any single task even
+        # when one host dominates the round
+        f = f.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+        w1 = Window.partitionBy("_host", "_salt").orderBy(order_col)
+        f = f.withColumn("_r1", F.row_number().over(w1))
+        # survivors: at most `quota` per salt can ever make the final cut
+        survivors = f.filter(F.col("quota").isNull() | (F.col("_r1") <= F.col("quota")))
+        losers = f.filter(~(F.col("quota").isNull() | (F.col("_r1") <= F.col("quota"))))
+        # phase 2: exact per-host rank over the (<= n_salts * quota) survivors
+        w2 = Window.partitionBy("_host").orderBy(order_col)
+        survivors = survivors.withColumn("_r2", F.row_number().over(w2))
+        ok = F.col("quota").isNull() | (F.col("_r2") <= F.col("quota"))
+        sched = survivors.filter(ok).drop("_r1", "_r2", "_salt", "quota")
+        deferred = survivors.filter(~ok).drop("_r2").unionByName(losers) \
+            .drop("_r1", "_salt", "quota")
+    else:
+        sched, deferred = f, f.limit(0)
+    sched = sched.drop("_host")
+    deferred = deferred.drop("_host")
+    if global_cap is not None:
+        # deterministic top-k by discovery order; the remainder re-queues
+        w = Window.orderBy(order_col)  # only reached when a cap is set;
+        # the cap itself bounds the rows that flow through this window
+        ranked = sched.withColumn("_gr", F.row_number().over(w))
+        deferred = deferred.unionByName(ranked.filter(F.col("_gr") > global_cap).drop("_gr"))
+        sched = ranked.filter(F.col("_gr") <= global_cap).drop("_gr")
+    return sched, deferred
+
+
+def quota_from_delays(delays: DataFrame, round_budget_s: float) -> DataFrame:
+    """robots crawl-delay -> per-round fetch quota (>=1 so progress is
+    always possible; a delay longer than the budget degrades to 1/round)."""
+    return delays.select(
+        "host",
+        F.greatest(F.floor(F.lit(round_budget_s) / F.col("crawl_delay_s")), F.lit(1))
+        .cast("int").alias("quota"),
+    )
