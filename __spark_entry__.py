@@ -1,38 +1,717 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a depth-2 BFS crawl over a deterministic
+web derived from the sf0.001 ``documents`` table (each doc is a page,
+outlinks derived arithmetically), returning the sorted unique URL set
+with depth — the reference crawler's text-output semantics
+(reference: internal/output/output.go:44-57).
+
+``queries()`` / ``oracle_sql()`` — one entry per operator from
+SURVEY.md §2 plus the training-data-pipeline operators, each expressed
+over the driver's TPC-H-ish tables with a value-matching DuckDB oracle.
+Non-SQL-expressible ops (MinHash-LSH, SimHash, LSH/IVF ANN, image
+decode, full BFS) have no oracle entry -> rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+N_DOC_PAGES = 500  # sf0.001 documents count; modulus for the derived web
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make urlmap_spark importable on executors even when the driver
+    session was built without our PYTHONPATH (zip + addPyFile — the
+    local-mode equivalent of spark-submit --py-files)."""
+    import zipfile
+
+    marker = "_urlmap_spark_shipped"
+    if getattr(spark, marker, False):
+        return
+    zpath = os.path.join("/tmp", "urlmap_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(_REPO, "urlmap_spark")
+            for root, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    setattr(spark, marker, True)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# flagship: BFS crawl over a documents-derived web
+# --------------------------------------------------------------------------
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> corpus(url, caption, status): page p{doc_id} links to
+    three arithmetic neighbors (mod N_DOC_PAGES), one dead page, one
+    skip-scheme href; ~6% of pages 404/500 by doc_id hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://docs.test/p"), F.col("doc_id"))
+
+    def tgt(k: int, c: int):
+        return F.concat(F.lit('href="/p'), (F.col("doc_id") * k + c) % N_DOC_PAGES, F.lit('"'))
+
+    caption = F.concat_ws(
+        " ", tgt(7, 1), tgt(3, 2), tgt(11, 5),
+        F.concat(F.lit('href="/dead/x'), F.col("doc_id") % 101, F.lit('"')),
+        F.lit('href="mailto:a@b.test"'),
+    )
+    status = (
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(100)) < 4, F.lit(404))
+        .when(F.pmod(F.xxhash64("doc_id"), F.lit(100)) < 6, F.lit(500))
+        .otherwise(F.lit(200))
+    )
+    return docs.select(url.alias("url"), caption.alias("caption"), status.alias("status"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ship_package(spark)
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+
+    corpus = _doc_corpus(spark, "/root/testdata/sf0.001")
+    run = crawl(spark, corpus, "https://docs.test/p0",
+                CrawlConfig(max_depth=2, same_path_prefix=False))
+    return (
+        run.results.select("url", "depth", "status", "ok")
+        .dropDuplicates(["url"]).orderBy("url")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+# deterministic URL families used by the URL-kernel queries; built with
+# identical CASE logic in Spark and DuckDB so both engines see the same
+# input strings
+_URL_CASE_SQL = """CASE p_partkey % 5
+  WHEN 0 THEN 'https://h' || (p_partkey % 7) || '.test/a/'
+  WHEN 1 THEN 'https://h' || (p_partkey % 7) || '.test/b#frag'
+  WHEN 2 THEN 'http://h' || (p_partkey % 7) || '.test'
+  WHEN 3 THEN 'https://h' || (p_partkey % 7) || '.test/c?q=1#f'
+  WHEN 4 THEN 'https://h' || (p_partkey % 7) || '.test/'
+END"""
+
+_VALID_CASE_SQL = """CASE p_partkey % 4
+  WHEN 0 THEN 'https://ok' || (p_partkey % 9) || '.test/p'
+  WHEN 1 THEN 'ftp://no.test/p'
+  WHEN 2 THEN 'http://'
+  WHEN 3 THEN 'relative/path' || (p_partkey % 9)
+END"""
+
+_HREF_CASE_SQL = """CASE event_id % 6
+  WHEN 0 THEN 'javascript:void(0)'
+  WHEN 1 THEN 'mailto:a@b.test'
+  WHEN 2 THEN '/path' || (event_id % 13)
+  WHEN 3 THEN './rel' || (event_id % 13)
+  WHEN 4 THEN '#frag'
+  WHEN 5 THEN 'https://ok.test/x' || (event_id % 13)
+END"""
+
+
+def _q_fetch_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .select(
+            "o_orderkey", "o_custkey",
+            F.coalesce("c_name", F.lit("MISSING")).alias("fetched_name"),
+            F.when(F.col("c_custkey").isNull(), F.lit(404)).otherwise(F.lit(200)).alias("fetch_status"),
+        )
+    )
+
+
+def _q_url_valid_filter(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import is_valid_expr
+
+    part = _t(spark, sf_dir, "part")
+    url = F.expr(_VALID_CASE_SQL)
+    return (
+        part.select("p_partkey", url.alias("url"))
+        .filter(F.coalesce(is_valid_expr(F.col("url")), F.lit(False)))
+    )
+
+
+def _q_scheme_skip_filter(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import should_skip_expr
+
+    ev = _t(spark, sf_dir, "events")
+    href = F.expr(_HREF_CASE_SQL)
+    return ev.select("event_id", href.alias("href")).filter(~should_skip_expr(F.col("href")))
+
+
+def _q_status_window_filter(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import status_ok_expr
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.floor("value").cast("int").alias("status"))
+        .filter(status_ok_expr(F.col("status")))
+    )
+
+
+def _q_depth_filter(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import depth_ok_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", F.col("l_linenumber").alias("depth")) \
+             .filter(depth_ok_expr(F.col("depth"), 3))
+
+
+def _q_url_normalize(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import normalize_simple_expr
+
+    part = _t(spark, sf_dir, "part")
+    url = F.expr(_URL_CASE_SQL)
+    return part.select("p_partkey", url.alias("url"),
+                       normalize_simple_expr(url).alias("normalized"))
+
+
+def _q_extract_domain(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import host_expr
+
+    sup = _t(spark, sf_dir, "supplier")
+    url = F.concat(F.lit("https://sub.h"), F.col("s_suppkey") % 100, F.lit(".test:8080/x"))
+    return sup.select("s_suppkey", host_expr(url).alias("domain"))
+
+
+def _q_same_domain_filter(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import same_domain_expr
+
+    cust = _t(spark, sf_dir, "customer")
+    a = F.concat(F.lit("https://c"), F.col("c_custkey") % 10, F.lit(".test/x"))
+    b = F.concat(F.lit("https://C"), F.col("c_nationkey") % 10, F.lit(".TEST/y"))
+    return (
+        cust.select("c_custkey", a.alias("url_a"), b.alias("url_b"))
+        .filter(same_domain_expr(F.col("url_a"), F.col("url_b")))
+    )
+
+
+def _q_path_prefix_filter(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import same_path_prefix_expr
+
+    part = _t(spark, sf_dir, "part")
+    target = F.expr("""CASE p_partkey % 4
+      WHEN 0 THEN 'https://h.test/docs/a' WHEN 1 THEN 'https://h.test/doc/x'
+      WHEN 2 THEN 'https://h.test/docs'   WHEN 3 THEN 'https://h.test/api'
+    END""")
+    base = F.lit("https://h.test/docs")
+    return (
+        part.select("p_partkey", target.alias("target"))
+        .filter(F.coalesce(same_path_prefix_expr(base, F.col("target")), F.lit(False)))
+    )
+
+
+def _q_extract_explode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter(F.col("pos") < 5)
+    )
+
+
+def _q_extract_stats_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    href = F.expr(_HREF_CASE_SQL)
+    outcome = (
+        F.when(F.col("href").startswith("javascript:") | F.col("href").startswith("mailto:")
+               | F.col("href").startswith("#"), F.lit("filtered_out"))
+        .when(F.col("href").startswith("https://") | F.col("href").startswith("http://"),
+              F.lit("valid_absolute"))
+        .otherwise(F.lit("relative"))
+    )
+    return (
+        ev.select(href.alias("href")).select(outcome.alias("outcome"))
+        .groupBy("outcome").agg(F.count("*").alias("n"))
+    )
+
+
+def _q_stats_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+            F.max(F.col("l_linenumber").cast("int")).alias("max_line"),
+        )
+    )
+
+
+def _q_spa_score_agg(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    conf = F.round(
+        F.lit(0.4) * F.avg(F.when(F.col("text").contains("scan"), 1.0).otherwise(0.0))
+        + F.lit(0.3) * F.avg(F.when(F.col("n_chars") < 200, 1.0).otherwise(0.0))
+        + F.lit(0.3) * F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)),
+        6,
+    )
+    return (
+        docs.groupBy("source")
+        .agg(conf.alias("confidence"), F.count("*").alias("n_pages"))
+        .withColumn("is_spa", F.col("confidence") >= 0.5)
+    )
+
+
+def _q_robots_longest_match(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.length("p_name").desc(), F.col("p_name"), F.col("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_name").alias("longest_name"),
+                F.length("p_name").cast("int").alias("name_len"))
+    )
+
+
+def _q_per_host_quota_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderkey", "o_custkey", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _q_seen_anti_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50) \
+        .select(F.col("c_custkey").alias("o_custkey"))
+    return orders.join(seen, "o_custkey", "left_anti").select("o_orderkey", "o_custkey")
+
+
+def _q_first_wins_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _q_output_dedup_sort(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_type").dropDuplicates(["event_type"]).orderBy("event_type")
+
+
+def _q_robots_parse(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("int").alias("k"),
+    )
+
+
+# --- training-data ops -------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from urlmap_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from urlmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.2)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_pairs(docs, max_hamming=7)
+
+
+def _q_embed_cosine_topk(spark, sf_dir):
+    from urlmap_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+
+
+def _q_embed_ann_lsh(spark, sf_dir):
+    from urlmap_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=6)
+
+
+def _q_embed_ann_ivf(spark, sf_dir):
+    from urlmap_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=8, nprobe=3)
+
+
+def _q_embed_neardup(spark, sf_dir):
+    from urlmap_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return embedding_neardup_pairs(emb, threshold=0.15)
+
+
+def _q_text_langid(spark, sf_dir):
+    from urlmap_spark.functions.textstats import langid_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_expr(F.col("text")).alias("lang_pred"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from urlmap_spark.functions.textstats import quality_score_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+def _q_token_count(spark, sf_dir):
+    from urlmap_spark.functions.textstats import bpe_token_count_expr, token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("int").alias("n_tokens"),
+        bpe_token_count_expr(F.col("text")).cast("int").alias("n_bpe"),
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from urlmap_spark.functions.textstats import fingerprint_md5_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5_expr(F.col("text")).alias("fp"))
+
+
+def _q_image_decode_meta(spark, sf_dir):
+    _ship_package(spark)
+    from urlmap_spark.operators.multimodal import decode_meta
+    from urlmap_spark.sources.corpus import corpus_spark
+
+    corpus = corpus_spark(spark, seed=7, n_hosts=2, total_pages=40, with_bytes=True)
+    return decode_meta(corpus).withColumn("mean_lum", F.round("mean_lum", 4)) \
+        .orderBy("image_id")
+
+
+def _q_crawl_bfs(spark, sf_dir):
+    _ship_package(spark)
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+
+    corpus = _doc_corpus(spark, sf_dir)
+    run = crawl(spark, corpus, "https://docs.test/p0",
+                CrawlConfig(max_depth=2, same_path_prefix=False))
+    return run.results.select("url", "depth", "order", "status", "ok").orderBy("order")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl-engine primitives (SURVEY.md §2 [Q] rows)
+        "fetch-join": _q_fetch_join,
+        "url-valid-filter": _q_url_valid_filter,
+        "scheme-skip-filter": _q_scheme_skip_filter,
+        "status-window-filter": _q_status_window_filter,
+        "depth-filter": _q_depth_filter,
+        "url-normalize": _q_url_normalize,
+        "extract-domain-project": _q_extract_domain,
+        "same-domain-filter": _q_same_domain_filter,
+        "path-prefix-filter": _q_path_prefix_filter,
+        "extract-explode": _q_extract_explode,
+        "extract-stats-agg": _q_extract_stats_agg,
+        "stats-agg": _q_stats_agg,
+        "spa-score-agg": _q_spa_score_agg,
+        "robots-longest-match": _q_robots_longest_match,
+        "per-host-quota-topk": _q_per_host_quota_topk,
+        "seen-anti-join": _q_seen_anti_join,
+        "first-wins-dedup": _q_first_wins_dedup,
+        "output-dedup-sort": _q_output_dedup_sort,
+        "robots-parse": _q_robots_parse,
+        # training-data pipeline operators
+        "dedup-exact": _q_dedup_exact,
+        "dedup-ngram-jaccard": _q_dedup_ngram_jaccard,
+        "dedup-minhash-lsh": _q_dedup_minhash_lsh,
+        "dedup-simhash": _q_dedup_simhash,
+        "embed-cosine-topk": _q_embed_cosine_topk,
+        "embed-ann-lsh": _q_embed_ann_lsh,
+        "embed-ann-ivf": _q_embed_ann_ivf,
+        "embed-neardup": _q_embed_neardup,
+        "text-langid": _q_text_langid,
+        "text-quality": _q_text_quality,
+        "token-count": _q_token_count,
+        "doc-fingerprint": _q_doc_fingerprint,
+        "image-decode-meta": _q_image_decode_meta,
+        "crawl-bfs": _q_crawl_bfs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = "'the','and','of','to','a'"
+    de = "'der','die','und','das','ist'"
+    es = "'el','la','los','que','una'"
+
+    def _marker(markers):
+        return ("len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''), "
+                f"x -> x IN ({markers})))")
+
+    s_en, s_de, s_es = _marker(en), _marker(de), _marker(es)
+    stop = "'the','a','and','of','to','in','is','on'"
+
+    return {
+        "fetch-join": """
+            SELECT o_orderkey, o_custkey,
+                   coalesce(c_name, 'MISSING') AS fetched_name,
+                   CASE WHEN c_custkey IS NULL THEN 404 ELSE 200 END AS fetch_status
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "url-valid-filter": f"""
+            SELECT p_partkey, url FROM (
+              SELECT p_partkey, {_VALID_CASE_SQL} AS url FROM part)
+            WHERE regexp_matches(lower(url), '^(http|https)://')
+              AND regexp_extract(url, '^[a-zA-Z]+://([^/?#]*)', 1) <> ''
+        """,
+        "scheme-skip-filter": f"""
+            SELECT event_id, href FROM (
+              SELECT event_id, {_HREF_CASE_SQL} AS href FROM events)
+            WHERE trim(href) <> ''
+              AND NOT regexp_matches(lower(href),
+                    '^(javascript:|mailto:|tel:|ftp:|file:|data:|#)')
+        """,
+        "status-window-filter": """
+            SELECT event_id, CAST(floor(value) AS int) AS status FROM events
+            WHERE CAST(floor(value) AS int) BETWEEN 200 AND 399
+        """,
+        "depth-filter": """
+            SELECT l_orderkey, l_linenumber AS depth FROM lineitem WHERE l_linenumber <= 3
+        """,
+        "url-normalize": f"""
+            WITH u AS (SELECT p_partkey, {_URL_CASE_SQL} AS url FROM part),
+            s AS (SELECT p_partkey, url,
+                         regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+            p AS (SELECT p_partkey, url,
+                         regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) AS sh,
+                         regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
+                         regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*[^?]*(\\?.*)?$', 1) AS query
+                  FROM s)
+            SELECT p_partkey, url,
+                   sh || (CASE WHEN p2 = '' THEN '/' ELSE p2 END) || query AS normalized
+            FROM (SELECT *, CASE WHEN path <> '/' AND path LIKE '%/'
+                                 THEN substring(path, 1, length(path) - 1)
+                                 ELSE path END AS p2 FROM p)
+        """,
+        "extract-domain-project": """
+            SELECT s_suppkey,
+                   regexp_extract('https://sub.h' || (s_suppkey % 100) || '.test:8080/x',
+                                  '^[a-z]+://([^/:?#]+)', 1) AS domain
+            FROM supplier
+        """,
+        "same-domain-filter": """
+            SELECT c_custkey,
+                   'https://c' || (c_custkey % 10) || '.test/x' AS url_a,
+                   'https://C' || (c_nationkey % 10) || '.TEST/y' AS url_b
+            FROM customer
+            WHERE lower('c' || (c_custkey % 10) || '.test')
+                = lower('C' || (c_nationkey % 10) || '.TEST')
+        """,
+        "path-prefix-filter": """
+            SELECT p_partkey, target FROM (
+              SELECT p_partkey, CASE p_partkey % 4
+                WHEN 0 THEN 'https://h.test/docs/a' WHEN 1 THEN 'https://h.test/doc/x'
+                WHEN 2 THEN 'https://h.test/docs'   WHEN 3 THEN 'https://h.test/api'
+              END AS target FROM part)
+            WHERE starts_with(
+                CASE WHEN regexp_extract(target, '^[a-z]+://[^/?#]*([^?#]*)', 1) IN ('', '/')
+                     THEN '/'
+                     WHEN regexp_extract(target, '^[a-z]+://[^/?#]*([^?#]*)', 1) LIKE '%/'
+                     THEN regexp_extract(target, '^[a-z]+://[^/?#]*([^?#]*)', 1)
+                     ELSE regexp_extract(target, '^[a-z]+://[^/?#]*([^?#]*)', 1) || '/' END,
+                '/docs/')
+        """,
+        "extract-explode": """
+            SELECT doc_id, gs - 1 AS pos, tok AS token FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS gs
+              FROM documents)
+            WHERE gs <= 5
+        """,
+        "extract-stats-agg": f"""
+            SELECT outcome, CAST(count(*) AS bigint) AS n FROM (
+              SELECT CASE
+                WHEN href LIKE 'javascript:%' OR href LIKE 'mailto:%' OR href LIKE '#%'
+                  THEN 'filtered_out'
+                WHEN href LIKE 'https://%' OR href LIKE 'http://%' THEN 'valid_absolute'
+                ELSE 'relative' END AS outcome
+              FROM (SELECT {_HREF_CASE_SQL} AS href FROM events))
+            GROUP BY outcome
+        """,
+        "stats-agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(l_quantity) AS double), 2) AS sum_qty,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS double), 2) AS revenue,
+                   round(CAST(avg(l_discount) AS double), 6) AS avg_disc,
+                   CAST(count(*) AS bigint) AS count_order,
+                   CAST(max(l_linenumber) AS int) AS max_line
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "spa-score-agg": """
+            SELECT source,
+                   round(0.4 * avg(CASE WHEN text LIKE '%scan%' THEN 1.0 ELSE 0.0 END)
+                       + 0.3 * avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END)
+                       + 0.3 * avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS confidence,
+                   CAST(count(*) AS bigint) AS n_pages,
+                   (round(0.4 * avg(CASE WHEN text LIKE '%scan%' THEN 1.0 ELSE 0.0 END)
+                        + 0.3 * avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END)
+                        + 0.3 * avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)) >= 0.5 AS is_spa
+            FROM documents GROUP BY source
+        """,
+        "robots-longest-match": """
+            SELECT p_brand, p_name AS longest_name, CAST(length(p_name) AS int) AS name_len
+            FROM (SELECT p_brand, p_name,
+                         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY length(p_name) DESC, p_name, p_partkey) AS rn
+                  FROM part)
+            WHERE rn = 1
+        """,
+        "per-host-quota-topk": """
+            SELECT o_orderkey, o_custkey, CAST(rn AS int) AS rn
+            FROM (SELECT o_orderkey, o_custkey,
+                         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "seen-anti-join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 50)
+        """,
+        "first-wins-dedup": """
+            SELECT user_id, event_id, event_type
+            FROM (SELECT user_id, event_id, event_type,
+                         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "output-dedup-sort": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "robots-parse": """
+            SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS int) AS k
+            FROM events
+        """,
+        "dedup-exact": """
+            SELECT md5(text) AS content_hash,
+                   CAST(min(doc_id) AS bigint) AS keeper_id,
+                   CAST(count(*) AS bigint) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup-ngram-jaccard": """
+            WITH toks AS (
+              SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+              FROM documents WHERE doc_id < 200),
+            sh AS (
+              SELECT id, list_distinct(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                       ELSE list_transform(generate_series(1, len(l) - 2),
+                                           i -> array_to_string(l[i:i+2], ' ')) END) AS shs
+              FROM toks),
+            ex AS (SELECT id, unnest(shs) AS s FROM sh),
+            sizes AS (SELECT id, len(shs) AS sz FROM sh),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS bigint) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(CAST(i AS double) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+            WHERE round(CAST(i AS double) / (sa.sz + sb.sz - i), 6) >= 0.2
+        """,
+        "embed-cosine-topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "embed-neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.15
+        """,
+        "text-langid": f"""
+            SELECT doc_id,
+                   CASE WHEN {s_en} >= {s_de} AND {s_en} >= {s_es} AND {s_en} > 0 THEN 'en'
+                        WHEN {s_de} >= {s_es} AND {s_de} > 0 THEN 'de'
+                        WHEN {s_es} > 0 THEN 'es'
+                        ELSE 'und' END AS lang_pred
+            FROM documents
+        """,
+        "text-quality": f"""
+            SELECT doc_id, round(
+              0.5 * least(length(text) / 500.0, 1.0)
+            + 0.4 * least(4.0 * (CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+                     THEN CAST(len(list_filter(list_filter(string_split(lower(text),' '), x -> x <> ''),
+                                   x -> x IN ({stop}))) AS double)
+                          / len(list_filter(string_split(text,' '), x -> x <> ''))
+                     ELSE 0.0 END), 1.0)
+            - 0.3 * (CASE WHEN length(text) > 0
+                     THEN least(5.0 * length(regexp_replace(text, '[\\w\\s]', '', 'g')) / length(text), 1.0)
+                     ELSE 0.0 END)
+            + 0.3, 6) AS quality
+            FROM documents
+        """,
+        "token-count": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS int) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS int) AS n_bpe
+            FROM documents
+        """,
+        "doc-fingerprint": """
+            SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents
+        """,
+        # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
+        # embed-ann-lsh, embed-ann-ivf, image-decode-meta, crawl-bfs
+    }

@@ -1,0 +1,88 @@
+"""Text analysis for training-data pipelines — all JVM-native expressions.
+
+Language-ID (stopword-marker heuristic), quality scoring, token
+counting, and document fingerprinting over a `text` column. Everything
+here is built from pyspark.sql.functions only (no Python in the hot
+path) and has an exact DuckDB-SQL twin in __spark_entry__.oracle_sql,
+so the driver's oracle verifies each one value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic marker sets (heuristic language ID; a real system
+# would use char-n-gram profiles — the Spark shape is identical)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "una"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on"]
+
+# BPE-ish tokenizer: words, numbers, or single punctuation marks
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens (empty trailing element of split removed)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Sub-word-ish token count via the regex tokenizer."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def marker_hits_expr(text: Column, markers: list[str]) -> Column:
+    toks = tokens_expr(F.lower(text))
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def langid_expr(text: Column) -> Column:
+    """argmax over marker-hit counts; 'und' when no marker fires.
+    Deterministic tie-break: en > de > es (greatest-first order below)."""
+    scores = {lang: marker_hits_expr(text, ms) for lang, ms in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so that earlier languages win ties
+    for lang in reversed(list(scores)):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Length/stopword/punctuation composite in [0,1] — the standard
+    cheap quality gate for web-scale corpus filtering. Expressible in
+    ANSI SQL (oracle-checked)."""
+    n_chars = F.length(text)
+    n_tokens = token_count_expr(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens_expr(F.lower(text)), lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_penalty = F.when(n_chars > 0, F.least(n_punct * F.lit(5.0) / n_chars, F.lit(1.0))).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.5) * len_score + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        - F.lit(0.3) * punct_penalty + F.lit(0.3),
+        6,
+    )
+
+
+def fingerprint_expr(text: Column, bits: int = 64) -> Column:
+    """Deterministic 64-bit document fingerprint (xxhash64 — JVM-side).
+    The md5-prefix variant below is the oracle-checked twin (DuckDB has
+    md5 but not xxhash64)."""
+    return F.xxhash64(text)
+
+
+def fingerprint_md5_expr(text: Column) -> Column:
+    return F.substring(F.md5(text), 1, 16)

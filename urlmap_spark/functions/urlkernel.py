@@ -150,7 +150,7 @@ def should_skip_udf(href: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.StringType())
-def canonical_outlink_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+def _canonical_outlink_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     """One-pass skip->resolve->validate->normalize: a single Arrow
     round-trip per link batch (reference pipeline:
     internal/parser/parser.go:155-199)."""
@@ -159,3 +159,10 @@ def canonical_outlink_udf(base: pd.Series, href: pd.Series) -> pd.Series:
         for b, h in zip(base, href)
     ]
     return pd.Series(out, dtype=object)
+
+
+# Marked non-deterministic ON PURPOSE (it is pure): this stops Catalyst
+# from substituting the UDF into a pushed-down filter, which would add a
+# second ArrowEvalPython node and evaluate the UDF TWICE per row — a 2x
+# slowdown of the crawl's hottest stage, observed via explain("formatted").
+canonical_outlink_udf = _canonical_outlink_udf.asNondeterministic()

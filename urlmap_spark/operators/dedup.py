@@ -1,0 +1,271 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, each a different cost/recall point at 100 TB:
+
+- exact_dedup        hash-groupBy; one shuffle on the content hash
+- ngram_jaccard_pairs exact pairwise Jaccard restricted to candidate
+                      pairs that SHARE a shingle (explode + self-join —
+                      never all-pairs)
+- minhash_lsh_pairs  MinHash signatures (vectorized numpy) -> banded
+                      LSH buckets -> bucket-join candidates -> exact
+                      verify; the scale path for near-dup text
+- simhash_pairs      64-bit SimHash + hamming-ball candidate pairing
+                      via band keys
+- embedding_neardup  cosine-over-threshold pairs on an embedding column
+
+All pair generators emit (id_a < id_b) canonical pairs. The LSH family
+shuffles on SMALL keys (band hash, 16 bytes) — document text never
+enters a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: keeper = min id, plus duplicate count.
+    Shuffles md5(text) + id only (map-side partial agg)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# --- n-gram Jaccard (exact, shingle-candidate-restricted) ---------------------
+
+
+def shingles_expr(text_col: str, n: int = 3):
+    """Word n-gram shingles as an array column (native: split + transform)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, computed only for
+    pairs sharing >=1 shingle: |A∩B| from a shingle self-join,
+    |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("a").join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = [t for t in (text or "").lower().split() if t]
+    if len(toks) < n:
+        shingles = {" ".join(toks)} if toks else {""}
+    else:
+        shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    import zlib
+
+    return np.fromiter((zlib.crc32(s.encode()) for s in shingles), dtype=np.int64)
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 64, n: int = 3, seed: int = 42,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, sig: array<long>) — numpy-vectorized inside mapInPandas:
+    per batch one (num_hashes x num_shingles) broadcasted min, no
+    per-row Python hashing loops beyond crc32 of shingles."""
+    a, b = _perm_params(num_hashes, seed)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                h = _shingle_hashes(txt, n)
+                # (k, m) permuted hashes -> min over shingles
+                m = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                sigs.append(m.min(axis=1))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, num_hashes: int = 64, bands: int = 16, n: int = 3,
+    threshold: float = 0.5, seed: int = 42,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate generation + signature-estimated Jaccard.
+
+    sig -> `bands` band-hashes -> explode -> groupBy band bucket ->
+    within-bucket pairs -> dedup pairs -> estimate jaccard as the
+    fraction of agreeing signature positions. Returns
+    (id_a, id_b, est_jaccard >= threshold).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, seed, id_col, text_col)
+    banded = sigs.select(
+        "id", "sig",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.lit(bi), F.slice("sig", bi * rows + 1, rows).cast("string"))
+            for bi in range(bands)
+        ])).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes)), 6)
+    return cand.withColumn("est_jaccard", est).filter(F.col("est_jaccard") >= threshold) \
+               .select("id_a", "id_b", "est_jaccard")
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash_column(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash long): sign-sum of token-hash bit vectors, numpy-
+    vectorized per Arrow batch."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        bitw = (1 << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            out = []
+            for txt in pdf[text_col]:
+                toks = [t for t in (txt or "").lower().split() if t]
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.array([zlib.crc32(t.encode()) * 2654435761 % (1 << 64) for t in toks],
+                              dtype=np.uint64)
+                bits = ((hs[:, None] & bitw[None, :]) != 0).astype(np.int32)
+                v = (bits * 2 - 1).sum(axis=0)
+                sh = np.uint64(0)
+                for j in np.nonzero(v > 0)[0]:
+                    sh |= bitw[j]
+                out.append(int(sh.astype(np.int64)))
+            yield pd.DataFrame({"id": pdf[id_col].values, "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Candidate generation: split the 64-bit hash into (max_hamming+1)
+    bands — any pair within the hamming ball agrees on >=1 full band
+    (pigeonhole), so the join is on band keys, never all-pairs."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    sh = simhash_column(df, id_col, text_col)
+    banded = sh.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), bi * width) % F.lit(1 << width)
+            for bi in range(nb)
+        ])).alias("band", "key"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# --- embedding near-dup -------------------------------------------------------
+
+
+def cosine_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine-over-threshold pairs. Without block_col this is the exact
+    O(n^2) path (bounded inputs only); at scale pass a block column
+    (e.g. an LSH bucket from similarity.lsh_bucket) to restrict the join."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"),
+                   *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        pairs = e.alias("a").join(e.alias("b"), cond)
+    else:
+        pairs = e.alias("a").join(e.alias("b"), cond)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,133 @@
+"""Multimodal (image) operators over opaque binary columns.
+
+Images travel as `bytes: binary` with typed metadata columns (w, h,
+fmt) — exactly the corpus input_hint shape. All pixel work happens in
+Arrow-batched mapInPandas; the Spark plan only ever shuffles the narrow
+metadata unless a stage genuinely needs pixels.
+
+Codecs: ppm/png are REAL (numpy-only, sources/corpus.py); jpeg and
+friends raise NotImplementedError per batch row (no image libs in this
+environment) — the plumbing (schema, batching, partition behavior) is
+identical for a real codec, so swapping one in is a pure function swap.
+
+payload-verification (input_hint): decoded pixels must match the
+reference pixels exactly for lossless fmts (allclose) / PSNR>=40dB for
+lossy, and captions must be byte-equal.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..sources import corpus as C
+
+DECODE_META_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("mean_lum", T.DoubleType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("decode_ok", T.BooleanType()),
+])
+
+
+def decode_meta(corpus: DataFrame) -> DataFrame:
+    """Decode every image, recompute (w, h, mean luminance, phash).
+    Unsupported codecs yield decode_ok=false rows instead of failing
+    the job (poison-pill isolation — essential at 10^10 rows)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    arr = C.decode_image(r.bytes, r.fmt)
+                    rows.append((r.image_id, r.fmt, arr.shape[1], arr.shape[0],
+                                 float(arr.mean()), C.phash_of(arr), True))
+                except (NotImplementedError, ValueError):
+                    rows.append((r.image_id, r.fmt, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_META_SCHEMA.fields])
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(gen, DECODE_META_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def resize(corpus: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize (numpy stride sampling), re-encoded as ppm.
+    The canonical thumbnailing stage of an image training pipeline."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                arr = C.decode_image(r.bytes, r.fmt)
+                yi = np.linspace(0, arr.shape[0] - 1, out_h).round().astype(int)
+                xi = np.linspace(0, arr.shape[1] - 1, out_w).round().astype(int)
+                small = arr[yi][:, xi]
+                rows.append((r.image_id, C.encode_ppm(small), out_w, out_h, "ppm"))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean())
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+VERIFY_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("pixels_ok", T.BooleanType()),
+    T.StructField("psnr_db", T.DoubleType()),
+    T.StructField("caption_ok", T.BooleanType()),
+    T.StructField("phash_ok", T.BooleanType()),
+])
+
+LOSSLESS_FMTS = {"ppm", "png"}
+
+
+def verify_payload(corpus: DataFrame, seed: int, n_hosts: int, total_pages: int,
+                   min_psnr: float = 40.0) -> DataFrame:
+    """Per-row invariant vs the generator (the 'reference rows'):
+    decoded pixels allclose (lossless) or PSNR>=min_psnr (lossy),
+    caption byte-equality vs regeneration, phash recompute equality.
+    One mapInPandas pass; returns a small boolean report table."""
+    counts = C.zipf_page_counts(n_hosts, total_pages)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                host = r.image_id.split("/", 1)[0]
+                hi = int(host.split(".")[0][1:])
+                leaf = r.image_id.rsplit("/", 1)[-1]
+                pj = 0 if leaf == "index" else int(leaf[1:])
+                arr = C.decode_image(r.bytes, r.fmt)
+                ref = C.pixels_of(seed, hi, pj, arr.shape[1], arr.shape[0])
+                p = psnr(arr, ref)
+                if r.fmt in LOSSLESS_FMTS:
+                    px_ok = np.allclose(arr, ref)
+                else:
+                    px_ok = p >= min_psnr
+                ph_ok = C.phash_of(arr) == r.phash
+                cap_ok = (r.caption or "") == C.caption_of(seed, hi, pj, counts[hi], n_hosts)
+                rows.append((r.image_id, bool(px_ok), float(p), bool(cap_ok), bool(ph_ok)))
+            yield pd.DataFrame(rows, columns=[f.name for f in VERIFY_SCHEMA.fields])
+
+    return corpus.select("image_id", "bytes", "fmt", "caption", "phash").mapInPandas(gen, VERIFY_SCHEMA)

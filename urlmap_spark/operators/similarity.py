@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline.
+  One scan, map-side partial top-k via sort+limit (Spark's TakeOrdered),
+  no full sort materialization.
+- lsh_bucket / lsh_topk: random-hyperplane LSH — the scale path. The
+  query probes only its own bucket (plus optional multi-probe flips),
+  turning top-k into a partition-pruned scan at 10^10 rows.
+- ivf_topk: inverted-file probe over seeded centroids: assign each
+  vector to its nearest centroid once (a narrow int column), search
+  only the closest `nprobe` centroids' rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr
+
+
+def _vec_lit(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k. Deterministic tie-break on id."""
+    q = _vec_lit(query_vec)
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Random-hyperplane signature: bit i = sign(dot(v, plane_i)).
+    Pure native expressions — one aggregate per plane over the array."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec_col, _vec_lit(p), lambda x, y: x * y),
+                F.lit(0.0), lambda s, v: s + v,
+            ) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    acc = F.lit(0)
+    for b in bits:
+        acc = acc * 2 + b
+    return acc
+
+
+def lsh_bucket(
+    emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
+    vec_col: str = "embedding", out_col: str = "bucket",
+) -> DataFrame:
+    planes = _hyperplanes(dim, n_planes, seed)
+    return emb.withColumn(out_col, lsh_bucket_expr(F.col(vec_col).cast("array<double>"), planes))
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8, seed: int = 42,
+    multiprobe: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only rows whose bucket matches the
+    query's bucket or differs in <= multiprobe sign bits (hamming
+    multi-probe recovers most near-boundary losses)."""
+    q = np.asarray(query_vec, dtype=float)
+    planes = _hyperplanes(len(q), n_planes, seed)
+    qbits = (planes @ q >= 0).astype(int)
+    qbucket = int("".join(map(str, qbits)), 2)
+    probes = {qbucket}
+    if multiprobe > 0:
+        for i in range(n_planes):
+            probes.add(qbucket ^ (1 << (n_planes - 1 - i)))
+    bucketed = lsh_bucket(emb, len(q), n_planes, seed, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin(*probes))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16, seed: int = 42,
+    vec_col: str = "embedding", sample: int = 2048, iters: int = 2,
+) -> np.ndarray:
+    """Seeded mini-kmeans on a driver-side sample (centroids are tiny;
+    the heavy assign step stays distributed)."""
+    rows = emb.select(F.col(vec_col).cast("array<double>").alias("v")).limit(sample).collect()
+    x = np.array([r["v"] for r in rows])
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(c)):
+            m = x[assign == j]
+            if len(m):
+                c[j] = m.mean(0)
+    return c
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding", out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid id as a narrow int column (argmin over cosine).
+    Native expressions; centroids are literals (broadcast-free)."""
+    v = F.col(vec_col).cast("array<double>")
+    arr = F.array(*[cosine_expr(v, _vec_lit(c)) for c in centroids])
+    return emb.withColumn(out_col, (F.array_position(arr, F.array_max(arr)) - 1).cast("int"))
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec, k: int = 10, n_centroids: int = 16,
+    nprobe: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF probe: exact search restricted to the nprobe nearest cells."""
+    c = centroids if centroids is not None else ivf_centroids(emb, n_centroids, seed, vec_col)
+    q = np.asarray(query_vec, dtype=float)
+    sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-12)
+    probe_cells = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    assigned = ivf_assign(emb, c, vec_col)
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)

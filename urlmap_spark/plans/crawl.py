@@ -29,6 +29,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -52,6 +53,20 @@ FRONTIER_SCHEMA = T.StructType([
 
 RESULT_COLUMNS = ["url", "depth", "order", "status", "ok", "n_links", "round"]
 
+_DEBUG = os.environ.get("URLMAP_CRAWL_DEBUG") == "1"
+
+
+class _Tick:
+    def __init__(self, round_idx: int):
+        self.r = round_idx
+        self.t = time.time()
+
+    def __call__(self, label: str) -> None:
+        if _DEBUG:
+            now = time.time()
+            print(f"  [r{self.r}] {label:24s} {now - self.t:6.2f}s", flush=True)
+            self.t = now
+
 
 @dataclass
 class CrawlConfig:
@@ -66,6 +81,7 @@ class CrawlConfig:
     checkpoint_dir: str | None = None        # None = in-memory (tests)
     max_rounds: int = 10_000
     frontier_partitions: int | None = None
+    extract_partitions: int | None = None    # UDF-stage fan-out (default: cores)
 
 
 @dataclass
@@ -83,14 +99,44 @@ def _empty_frontier(spark: SparkSession) -> DataFrame:
 def crawl(
     spark: SparkSession,
     corpus: DataFrame,
-    seed_url: str,
+    seed_url: str | list[str] | DataFrame,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
 ) -> CrawlRun:
+    """seed_url: one URL, a seed LIST, or a seed DataFrame (column
+    ``url``). The reference crawls one seed; the north_rule contract is
+    "under the same seed list". List seeds are validated + normalized +
+    first-occurrence-deduped driver-side; round-0 crawl order is
+    seed-list order (FIFO enqueue semantics). DataFrame seeds are the
+    10^10-frontier path: validated/normalized/deduped distributed, with
+    round-0 order = lexicographic URL order (a deterministic canonical
+    choice); scoped crawls (same_domain) need a list, not a DataFrame."""
     cfg = cfg or CrawlConfig()
-    if not urlcore.is_valid_url(seed_url):
-        raise ValueError(f"invalid start URL: {seed_url}")
-    seed = urlcore.normalize_url(seed_url)
+    seeds_df: DataFrame | None = None
+    if isinstance(seed_url, DataFrame):
+        if cfg.same_domain:
+            raise ValueError("DataFrame seeds require same_domain=False; "
+                             "scoped crawls take a seed list")
+        if cfg.checkpoint_dir:
+            raise NotImplementedError(
+                "DataFrame seeds + checkpoint/resume: the resume path "
+                "rebuilds `seen` from seed list + deltas and does not yet "
+                "persist a seed table; use a list of seeds")
+        seeds_df = seed_url
+        seeds: list[str] = []
+        seed = None
+    else:
+        seed_list = [seed_url] if isinstance(seed_url, str) else list(seed_url)
+        seeds = []
+        seen_set: set[str] = set()
+        for su in seed_list:
+            if not urlcore.is_valid_url(su):
+                raise ValueError(f"invalid start URL: {su}")
+            n = urlcore.normalize_url(su)
+            if n not in seen_set:
+                seen_set.add(n)
+                seeds.append(n)
+        seed = seeds[0]
 
     catalog = RoundCatalog(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     # The crawl plan never touches `bytes`; select the narrow columns
@@ -103,111 +149,113 @@ def crawl(
     if resume and catalog is not None and catalog.last_round() is not None:
         last = catalog.last_round()
         frontier = catalog.read(spark, last, "next_frontier")
-        seen = catalog.read_union(spark, "seen_delta", upto=last).select("url") \
-            .unionByName(spark.createDataFrame([(seed,)], "url string"))
+        seen = catalog.read_union(spark, "seen_delta", upto=last).select("url")
+        if seeds:
+            seen = seen.unionByName(
+                spark.createDataFrame([(s,) for s in seeds], "url string"))
         m = catalog.read_metrics(last)
         order_counter = int(m["order_counter"])
         round_idx = last + 1
         metrics = [catalog.read_metrics(r) for r in catalog.committed_rounds()]
-    else:
-        frontier = spark.createDataFrame([(seed, 0, 0)], FRONTIER_SCHEMA)
+    elif seeds_df is not None:
+        from ..functions.urlkernel import is_valid_udf, normalize_udf
+
+        norm = (
+            seeds_df.select(normalize_udf(F.trim(F.col("url"))).alias("url"),
+                            is_valid_udf(F.trim(F.col("url"))).alias("_v"))
+            .filter(F.col("_v") & F.col("url").isNotNull())
+            .select("url").dropDuplicates(["url"])
+        )
+        frontier, order_counter = with_global_order(
+            norm.withColumn("depth", F.lit(0)), ["url"], order_col="order",
+            start=0, num_partitions=cfg.frontier_partitions)
+        frontier = frontier.select("url", "depth", "order").localCheckpoint(eager=True)
         seen = frontier.select("url")
-        order_counter = 1
+        round_idx = 0
+    else:
+        frontier = spark.createDataFrame(
+            [(s, 0, i) for i, s in enumerate(seeds)], FRONTIER_SCHEMA)
+        if len(seeds) > 64:
+            frontier = frontier.repartition(
+                cfg.frontier_partitions or spark.sparkContext.defaultParallelism)
+        seen = frontier.select("url")
+        order_counter = len(seeds)
         round_idx = 0
 
-    seen = seen.persist()
+    # seen is kept as a list of materialized deltas (union on demand):
+    # no per-round checkpoint of the whole set, compacted past a threshold
+    seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
     total_skipped = 0
+    politeness = (cfg.host_quota is not None or cfg.default_quota is not None
+                  or cfg.global_cap is not None)
+    # driver-side frontier count: known from the previous round's ordering
+    # pass (no count() job per round); -1 = unknown (resume), count once
+    n_frontier = (frontier.count()
+                  if (resume and catalog is not None) or seeds_df is not None
+                  else len(seeds))
 
-    while round_idx < cfg.max_rounds:
+    while round_idx < cfg.max_rounds and n_frontier > 0:
         t0 = time.time()
-        frontier = frontier.persist()
-        n_frontier = frontier.count()
-        if n_frontier == 0:
-            frontier.unpersist()
-            break
+        tick = _Tick(round_idx)
 
-        # --- dequeue-time depth gate (reference: crawler.go:207-211) -----
-        if cfg.max_depth >= 0:
-            process = frontier.filter(F.col("depth") <= cfg.max_depth)
+        # --- dequeue-time depth gate (reference: crawler.go:207-211).
+        # Pure BFS keeps one depth per round (= round_idx), so the gate is
+        # a driver-side comparison; with politeness deferral depths mix and
+        # we fall back to a real filter.
+        skipped_depth = 0
+        if cfg.max_depth >= 0 and not politeness:
+            if round_idx > cfg.max_depth:
+                skipped_depth = n_frontier
+                process = None
+            else:
+                process = frontier
+        elif cfg.max_depth >= 0:
+            process = frontier.filter(F.col("depth") <= cfg.max_depth).persist()
             n_process = process.count()
             skipped_depth = n_frontier - n_process
             if n_process == 0:
-                metrics.append({
-                    "round": round_idx, "frontier": n_frontier, "processed": 0,
-                    "crawled": 0, "failed": 0, "skipped_depth": skipped_depth,
-                    "blocked_robots": 0, "new_discovered": 0, "max_depth": 0,
-                    "order_counter": order_counter, "wall_s": round(time.time() - t0, 3),
-                })
-                total_skipped += skipped_depth
-                frontier.unpersist()
-                break
+                process = None
         else:
-            process, skipped_depth = frontier, 0
+            process = frontier
+        if process is None:
+            metrics.append({
+                "round": round_idx, "frontier": n_frontier, "processed": 0,
+                "crawled": 0, "failed": 0, "skipped_depth": skipped_depth,
+                "blocked_robots": 0, "new_discovered": 0, "max_depth": 0,
+                "order_counter": order_counter, "wall_s": round(time.time() - t0, 3),
+            })
+            total_skipped += skipped_depth
+            break
 
         # --- politeness schedule (quota overflow re-queues, never drops) --
-        if cfg.host_quota is not None or cfg.default_quota is not None or cfg.global_cap is not None:
+        n_deferred = 0
+        if politeness:
             sched, deferred = schedule_frontier(
                 process, cfg.host_quota, cfg.default_quota, cfg.global_cap)
+            deferred = deferred.select("url", "depth", "order").localCheckpoint(eager=True)
+            n_deferred = deferred.count()
         else:
-            sched, deferred = process, _empty_frontier(spark)
+            sched, deferred = process, None
 
         # --- robots gate (disallowed = skipped, reference: crawler.go:583-600)
         if cfg.robots_rules is not None:
-            gated = robots_gate(sched, cfg.robots_rules)
+            gated = robots_gate(sched, cfg.robots_rules).localCheckpoint(eager=True)
             allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
             blocked_robots = gated.filter(~F.col("robots_allowed")).count()
         else:
             allowed, blocked_robots = sched, 0
 
         # --- fetch = join against the corpus (reference: client.Get ->
-        #     crawler.go:331-334 status window; misses stay as failed rows)
+        #     crawler.go:331-334 status window; misses stay as failed rows).
+        # Eager checkpoint: ONE materialization reused by results, metrics
+        # and extraction (and truncates the per-round lineage chain, which
+        # otherwise OOMs plan compilation after ~10 rounds).
         fetched = (
             allowed.join(web, "url", "left")
             .withColumn("ok", F.coalesce(status_ok_expr(F.col("status")), F.lit(False)))
             .withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
-        ).persist()
-
-        # --- outlink extraction on OK pages only (crawler.go:644) ---------
-        links = extract_outlinks(
-            fetched.filter(F.col("ok")).select("url", "depth", "order", "caption")
-        ).select(
-            F.col("outlink"),
-            F.col("order").alias("parent_order"),
-            F.col("pos"),
-            (F.col("depth") + 1).alias("depth"),
-            F.col("url").alias("parent"),
-        )
-
-        # --- scope filter vs the normalized seed (crawler.go:233-249) -----
-        if cfg.same_domain:
-            scope = (
-                same_path_prefix_expr(F.lit(seed), F.col("outlink"))
-                if cfg.same_path_prefix
-                else same_domain_expr(F.lit(seed), F.col("outlink"))
-            )
-            links = links.filter(F.coalesce(scope, F.lit(False)))
-
-        # --- first-wins intra-round dedup + anti-join the seen set --------
-        new = first_wins(
-            links.select(F.col("outlink").alias("url"), "parent_order", "pos", "depth"),
-            "url", ["parent_order", "pos"],
-        ).join(seen, "url", "left_anti")
-
-        # --- assign global crawl order (FIFO enqueue order) ---------------
-        new_frontier, order_counter = with_global_order(
-            new, ["parent_order", "pos"], order_col="order", start=order_counter,
-            num_partitions=cfg.frontier_partitions,
-        )
-        new_frontier = new_frontier.select("url", "depth", "order").persist()
-        n_new = new_frontier.count()
-
-        next_frontier = new_frontier.unionByName(deferred.select("url", "depth", "order"))
-
-        # --- per-round results + metrics ----------------------------------
-        results_r = fetched.select(
-            "url", "depth", "order", "status", "ok",
-            F.lit(round_idx).alias("round"),
-        ).withColumn("n_links", F.lit(None).cast("int")).select(*RESULT_COLUMNS)
+        ).localCheckpoint(eager=True)
+        tick("fetch_ckpt")
 
         agg = fetched.agg(
             F.count("*").alias("processed"),
@@ -215,6 +263,73 @@ def crawl(
             F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
             F.max("depth").alias("max_depth"),
         ).collect()[0]
+        tick("metrics_agg")
+
+        # --- outlink extraction on OK pages only (crawler.go:644).
+        # Explicit repartition before the pandas UDF: AQE coalesces
+        # post-shuffle partitions by BYTES and would funnel the (cheap-in-
+        # bytes, expensive-in-CPU) extraction into a handful of tasks —
+        # the UDF stage must be spread across all cores explicitly.
+        n_extract = cfg.extract_partitions or spark.sparkContext.defaultParallelism
+        links = extract_outlinks(
+            fetched.filter(F.col("ok")).select("url", "depth", "order", "caption")
+            .repartition(n_extract)
+        ).select(
+            F.col("outlink"),
+            F.col("order").alias("parent_order"),
+            F.col("pos"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+
+        # --- scope filter vs the normalized seed(s) (crawler.go:233-249).
+        # Multi-seed: a link is in scope if it matches ANY seed (OR-chain;
+        # seed lists here are config-sized — a frontier-scale seed table
+        # would use a broadcast join on host instead).
+        if cfg.same_domain:
+            per_seed = [
+                same_path_prefix_expr(F.lit(s), F.col("outlink"))
+                if cfg.same_path_prefix
+                else same_domain_expr(F.lit(s), F.col("outlink"))
+                for s in seeds[:64]
+            ]
+            if len(seeds) > 64:
+                raise ValueError("scoped crawls support at most 64 seeds; "
+                                 "disable same_domain for open crawls")
+            scope = per_seed[0]
+            for p in per_seed[1:]:
+                scope = scope | p
+            links = links.filter(F.coalesce(scope, F.lit(False)))
+
+        # --- first-wins intra-round dedup + anti-join the seen set --------
+        seen = seen_parts[0]
+        for p in seen_parts[1:]:
+            seen = seen.unionByName(p)
+        new = first_wins(
+            links.select(F.col("outlink").alias("url"), "parent_order", "pos", "depth"),
+            "url", ["parent_order", "pos"],
+        ).join(seen, "url", "left_anti").localCheckpoint(eager=True)
+        tick("extract_dedup_ckpt")
+
+        # --- assign global crawl order (FIFO enqueue order); the ordering
+        # pass's partition counts double as the new-URL count (free)
+        prev_counter = order_counter
+        new_frontier, order_counter = with_global_order(
+            new, ["parent_order", "pos"], order_col="order", start=order_counter,
+            num_partitions=cfg.frontier_partitions,
+        )
+        tick("order_counts")
+        n_new = order_counter - prev_counter
+        new_frontier = new_frontier.select("url", "depth", "order")
+
+        next_frontier = (
+            new_frontier.unionByName(deferred) if deferred is not None else new_frontier
+        ).localCheckpoint(eager=True)
+        tick("frontier_ckpt")
+
+        results_r = fetched.select(
+            "url", "depth", "order", "status", "ok",
+            F.lit(round_idx).alias("round"),
+        ).withColumn("n_links", F.lit(None).cast("int")).select(*RESULT_COLUMNS)
 
         m = {
             "round": round_idx,
@@ -232,49 +347,47 @@ def crawl(
         total_skipped += skipped_depth + int(blocked_robots)
 
         if catalog is not None:
-            lineage = new_frontier.groupBy(
+            lineage = next_frontier.groupBy(
                 F.expr("try_parse_url(url, 'HOST')").alias("host")
             ).agg(F.count("*").alias("n"), F.min("order").alias("min_order"),
                   F.max("order").alias("max_order"))
             catalog.commit_round(round_idx, {
                 "results": results_r,
                 "next_frontier": next_frontier,
-                "seen_delta": new_frontier.select("url"),
+                "seen_delta": new.select("url"),
                 "lineage": lineage,
             }, m)
-            # re-read from storage: truncates lineage, snapshot-isolated
-            frontier.unpersist()
-            fetched.unpersist()
-            new_frontier.unpersist()
+            # re-read from storage: snapshot-isolated resume point
             frontier = catalog.read(spark, round_idx, "next_frontier")
-            seen = catalog.read_union(spark, "seen_delta", upto=round_idx) \
-                .select("url").unionByName(spark.createDataFrame([(seed,)], "url string"))
+            seen_parts.append(catalog.read(spark, round_idx, "seen_delta"))
         else:
-            # truncate lineage every round: without this the logical plan
-            # nests one fetch-join+window+anti-join PER ROUND and the
-            # driver OOMs on plan compilation long before data size matters
-            results_parts.append(results_r.localCheckpoint(eager=True))
-            old_seen = seen
-            seen = seen.unionByName(new_frontier.select("url")).localCheckpoint(eager=True)
-            old_seen.unpersist()
-            next_frontier = next_frontier.localCheckpoint(eager=True)
-            frontier.unpersist()
-            fetched.unpersist()
-            new_frontier.unpersist()
+            results_parts.append(results_r)
+            seen_parts.append(new.select("url"))
             frontier = next_frontier
 
+        if len(seen_parts) > 64:  # bound the union width on deep crawls
+            compacted = seen_parts[0]
+            for p in seen_parts[1:]:
+                compacted = compacted.unionByName(p)
+            seen_parts = [compacted.localCheckpoint(eager=True)]
+
+        n_frontier = n_new + n_deferred
         metrics.append(m)
         round_idx += 1
 
     if catalog is not None:
         results = catalog.read_union(spark, "results")
-        seen_df = catalog.read_union(spark, "seen_delta").select("url") \
-            .unionByName(spark.createDataFrame([(seed,)], "url string"))
+        seen_df = catalog.read_union(spark, "seen_delta").select("url")
+        if seeds:
+            seen_df = seen_df.unionByName(
+                spark.createDataFrame([(s,) for s in seeds], "url string"))
     else:
         results = results_parts[0] if results_parts else spark.createDataFrame([], T.StructType(
             [T.StructField(c, T.StringType()) for c in RESULT_COLUMNS]))
         for p in results_parts[1:]:
             results = results.unionByName(p)
-        seen_df = seen
+        seen_df = seen_parts[0]
+        for p in seen_parts[1:]:
+            seen_df = seen_df.unionByName(p)
 
     return CrawlRun(results=results, metrics=metrics, rounds=round_idx, seen=seen_df)

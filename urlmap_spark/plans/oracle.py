@@ -33,23 +33,28 @@ class OracleResult:
 
 def oracle_bfs(
     corpus: pd.DataFrame,
-    seed_url: str,
+    seed_url: str | list[str],
     max_depth: int = -1,
     same_domain: bool = True,
     same_path_prefix: bool = True,
     robots_disallowed: set[str] | None = None,
 ) -> tuple[list[OracleResult], dict]:
     """Returns (results in crawl order, stats dict)."""
-    if not urlcore.is_valid_url(seed_url):
-        raise ValueError(f"invalid start URL: {seed_url}")
-    seed = urlcore.normalize_url(seed_url)
+    seed_list = [seed_url] if isinstance(seed_url, str) else list(seed_url)
+    seeds: list[str] = []
+    for su in seed_list:
+        if not urlcore.is_valid_url(su):
+            raise ValueError(f"invalid start URL: {su}")
+        n = urlcore.normalize_url(su)
+        if n not in seeds:
+            seeds.append(n)
     pages = {r.url: r for r in corpus.itertuples()}
     robots_disallowed = robots_disallowed or set()
 
-    queue: list[tuple[str, int]] = [(seed, 0)]
-    visited = {seed}
+    queue: list[tuple[str, int]] = [(s, 0) for s in seeds]
+    visited = set(seeds)
     results: list[OracleResult] = []
-    stats = {"total": 1, "crawled": 0, "failed": 0, "skipped": 0, "max_depth": 0}
+    stats = {"total": len(seeds), "crawled": 0, "failed": 0, "skipped": 0, "max_depth": 0}
     order = 0
 
     while queue:
@@ -76,10 +81,11 @@ def oracle_bfs(
                 if link in visited:
                     continue
                 if same_domain:
-                    keep = (
-                        urlcore.is_same_path_prefix(seed, link)
-                        if same_path_prefix
-                        else urlcore.is_same_domain(seed, link)
+                    keep = any(
+                        (urlcore.is_same_path_prefix(s, link)
+                         if same_path_prefix else urlcore.is_same_domain(s, link))
+                        or False
+                        for s in seeds
                     )
                     if not keep:  # None (parse error) also drops, like Go
                         continue

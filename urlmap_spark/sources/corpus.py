@@ -95,10 +95,11 @@ def page_status(seed: int, hi: int, pj: int, error_rate: float = 0.08) -> int:
     return 200
 
 
-def outlink_hrefs(seed: int, hi: int, pj: int, n_pages: int, n_hosts: int) -> list[str]:
+def outlink_hrefs(seed: int, hi: int, pj: int, n_pages: int, n_hosts: int,
+                  fanout: tuple[int, int] = (3, 8)) -> list[str]:
     """Raw hrefs for page (hi, pj), in document order. Mixes the
     reference-fixture href families; deterministic."""
-    k = 3 + _h64(seed, "fanout", hi, pj) % 6  # 3..8 outlinks
+    k = fanout[0] + _h64(seed, "fanout", hi, pj) % (fanout[1] - fanout[0] + 1)
     hrefs: list[str] = []
     for t in range(k):
         r = _h64(seed, "link", hi, pj, t)
@@ -127,12 +128,13 @@ def outlink_hrefs(seed: int, hi: int, pj: int, n_pages: int, n_hosts: int) -> li
     return hrefs
 
 
-def caption_of(seed: int, hi: int, pj: int, n_pages: int, n_hosts: int) -> str:
+def caption_of(seed: int, hi: int, pj: int, n_pages: int, n_hosts: int,
+               fanout: tuple[int, int] = (3, 8)) -> str:
     """Caption = filler words + embedded href="..." tokens in doc order."""
     words = ["amber", "basalt", "cedar", "dune", "ember", "fjord", "grove", "heron"]
     r = _h64(seed, "cap", hi, pj)
     filler = " ".join(words[(r >> (4 * i)) % len(words)] for i in range(4))
-    links = " ".join(f'href="{h}"' for h in outlink_hrefs(seed, hi, pj, n_pages, n_hosts))
+    links = " ".join(f'href="{h}"' for h in outlink_hrefs(seed, hi, pj, n_pages, n_hosts, fanout))
     return f"{filler} {links} :: img {image_id_of(seed, hi, pj)}"
 
 
@@ -227,7 +229,7 @@ def phash_of(arr: np.ndarray) -> int:
 
 
 def corpus_row(seed: int, hi: int, pj: int, n_pages: int, n_hosts: int,
-               with_bytes: bool = True) -> dict:
+               with_bytes: bool = True, fanout: tuple[int, int] = (3, 8)) -> dict:
     r = _h64(seed, "dims", hi, pj)
     w = (32, 48, 64)[r % 3]
     h = (32, 48, 64)[(r >> 8) % 3]
@@ -244,7 +246,7 @@ def corpus_row(seed: int, hi: int, pj: int, n_pages: int, n_hosts: int,
         "w": w,
         "h": h,
         "fmt": fmt,
-        "caption": caption_of(seed, hi, pj, n_pages, n_hosts),
+        "caption": caption_of(seed, hi, pj, n_pages, n_hosts, fanout),
         "phash": ph,
         "url": page_url(seed, hi, pj),
         "status": page_status(seed, hi, pj),
@@ -271,7 +273,8 @@ def corpus_pandas(seed: int = 42, n_hosts: int = 4, total_pages: int = 60,
 
 
 def corpus_spark(spark, seed: int = 42, n_hosts: int = 4, total_pages: int = 60,
-                 with_bytes: bool = True, partitions: int | None = None):
+                 with_bytes: bool = True, partitions: int | None = None,
+                 fanout: tuple[int, int] = (3, 8)):
     """Distributed corpus generation: spark.range over (host,page) pairs ->
     mapInPandas generating rows executor-side. Scales to bench size without
     materializing anything on the driver."""
@@ -298,7 +301,7 @@ def corpus_spark(spark, seed: int = 42, n_hosts: int = 4, total_pages: int = 60,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = [
-                corpus_row(seed, int(r.hi), int(r.pj), int(r.n_pages), n_hosts, with_bytes)
+                corpus_row(seed, int(r.hi), int(r.pj), int(r.n_pages), n_hosts, with_bytes, fanout)
                 for r in b.itertuples()
             ]
             yield pd.DataFrame(rows, columns=CORPUS_COLUMNS)
