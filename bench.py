@@ -33,6 +33,12 @@ BENCH_SEEDS = 2000
 BENCH_FANOUT = (8, 16)
 JOIN_PARTS = 64  # fetch-join partitioning, fixed across cluster sizes
 
+# payload-verified crawl corpus (bytes included): the north_star crawl
+# decodes every fetched image and checks its perceptual hash — this is
+# the per-page CPU that a real crawl pipeline carries
+VP_HOSTS = 300
+VP_PAGES = 400_000
+
 
 def _sf_tag() -> str:
     return os.path.basename(os.path.normpath(SF_DIR))
@@ -40,6 +46,54 @@ def _sf_tag() -> str:
 
 def corpus_path() -> str:
     return f"/tmp/urlmap_bench_corpus_{BENCH_SEED}_{BENCH_HOSTS}_{BENCH_PAGES}_{BENCH_FANOUT[0]}_{BENCH_FANOUT[1]}"
+
+
+def vp_corpus_path() -> str:
+    return f"/tmp/urlmap_bench_vpcorpus_{BENCH_SEED}_{VP_HOSTS}_{VP_PAGES}"
+
+
+def ensure_vp_corpus(spark) -> str:
+    p = vp_corpus_path()
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        from urlmap_spark.sources.corpus import corpus_spark
+
+        corpus_spark(spark, seed=BENCH_SEED, n_hosts=VP_HOSTS,
+                     total_pages=VP_PAGES, with_bytes=True,
+                     partitions=CPUS * 4, fanout=BENCH_FANOUT).write.mode("overwrite").parquet(p)
+    return p
+
+
+def run_verified_crawl(spark, corpus_parquet: str) -> dict:
+    """Fat-frontier payload-verified crawl: every fetched page's bytes are
+    decoded and phash-checked (input_hint per-row invariant)."""
+    from pyspark.sql import functions as F
+
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+
+    corpus = (
+        spark.read.parquet(corpus_parquet)
+        .repartition(JOIN_PARTS, F.col("url"))
+        .sortWithinPartitions("url")
+        .persist()
+    )
+    corpus.count()
+    seeds = corpus.select("url").filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+    t0 = time.time()
+    run = crawl(spark, corpus, seeds,
+                CrawlConfig(max_depth=2, same_domain=False, verify_payload=True))
+    wall = time.time() - t0
+    processed = sum(m.get("processed", 0) for m in run.metrics)
+    verified = sum(m.get("payload_ok", 0) for m in run.metrics)
+    crawled = sum(m.get("crawled", 0) for m in run.metrics)
+    corpus.unpersist()
+    return {
+        "wall_s": round(wall, 2),
+        "processed": processed,
+        "crawled": crawled,
+        "payload_verified": verified,
+        "urls_per_sec": round(processed / wall, 1),
+        "rounds": run.rounds,
+    }
 
 
 def ensure_corpus(spark) -> str:
@@ -128,7 +182,11 @@ def main() -> None:
         # VM's turbo-clean range (at >16 busy cores the all-core frequency
         # drop alone caps measurable efficiency at ~0.66 — see BENCH notes);
         # best-of-2 trials de-noise the shared host
+        gen2 = get_spark(master=f"local[{CPUS}]", app_name="bench_gen_vp")
+        vcp = ensure_vp_corpus(gen2)
+        gen2.stop()
         lo, hi = (4, 16)
+        vres = {}
         for n in (lo, hi):
             best = None
             for _ in range(2):
@@ -139,13 +197,20 @@ def main() -> None:
                 if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
                     best = r
             results[n] = best
+            spark = get_spark(master=f"local[{n}]", app_name=f"bench_vp_{n}")
+            spark.sparkContext.setLogLevel("ERROR")
+            vres[n] = run_verified_crawl(spark, vcp)
+            spark.stop()
         eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / 4.0
         eff_steady = (results[hi]["steady_urls_per_sec"]
                       / max(results[lo]["steady_urls_per_sec"], 1e-9)) / 4.0
+        eff_vp = (vres[hi]["urls_per_sec"] / vres[lo]["urls_per_sec"]) / 4.0
         report = {
             f"local{lo}": results[lo], f"local{hi}": results[hi],
+            f"vp_local{lo}": vres[lo], f"vp_local{hi}": vres[hi],
             "scaling_efficiency": round(eff, 3),
             "scaling_efficiency_steady": round(eff_steady, 3),
+            "scaling_efficiency_verified": round(eff_vp, 3),
         }
         print(json.dumps(report))
         os.makedirs("BENCH", exist_ok=True)
@@ -166,6 +231,16 @@ def main() -> None:
                 f"(steady-state rounds >=10k frontier rows: {eff_steady:.3f}; "
                 f"target >= 0.8 per BASELINE.json north_rule; the reference's own "
                 f"4x-worker efficiency was ~0.43, BASELINE.md).\n\n"
+                "## Payload-verified crawl (north_star per-row invariant in the loop)\n\n"
+                f"{VP_PAGES} pages with real image bytes; every fetched page is decoded "
+                "and phash-checked in the fetch stage (bytes never enter any shuffle "
+                "beyond the fetch join).\n\n"
+                "| cores | wall s | URLs processed | verified | URLs/s |\n|---|---|---|---|---|\n"
+                f"| local[{lo}] | {vres[lo]['wall_s']} | {vres[lo]['processed']} | "
+                f"{vres[lo]['payload_verified']} | {vres[lo]['urls_per_sec']} |\n"
+                f"| local[{hi}] | {vres[hi]['wall_s']} | {vres[hi]['processed']} | "
+                f"{vres[hi]['payload_verified']} | {vres[hi]['urls_per_sec']} |\n\n"
+                f"**Verified-crawl scaling efficiency: {eff_vp:.3f}**\n\n"
                 "Operating points 4/16 instead of 8/32: this VM's all-core turbo "
                 "drop caps ANY 8->32 workload at ~0.66 measured with a pure "
                 "multiprocessing hash benchmark — 4->16 keeps both points in the "

@@ -1,0 +1,64 @@
+"""Per-row payload invariants (input_hint): decoded pixels, captions,
+phash — over the binary image column, end-to-end through the crawl."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from urlmap_spark.operators.multimodal import decode_meta, payload_ok_udf, resize, verify_payload
+from urlmap_spark.plans.crawl import CrawlConfig, crawl
+from urlmap_spark.sources import corpus as C
+
+
+@pytest.fixture(scope="module")
+def bytes_corpus():
+    return C.corpus_pandas(seed=42, n_hosts=3, total_pages=40, with_bytes=True)
+
+
+def test_verify_payload_all_rows(spark, bytes_corpus):
+    rep = verify_payload(spark.createDataFrame(bytes_corpus), seed=42, n_hosts=3,
+                         total_pages=40).collect()
+    assert len(rep) == 40
+    assert all(r["pixels_ok"] for r in rep), "decoded pixels must allclose the reference"
+    assert all(r["caption_ok"] for r in rep), "captions must be byte-equal"
+    assert all(r["phash_ok"] for r in rep)
+
+
+def test_decode_meta_and_resize(spark, bytes_corpus):
+    df = spark.createDataFrame(bytes_corpus)
+    meta = decode_meta(df).collect()
+    assert all(r["decode_ok"] for r in meta)
+    orig = {r.image_id: (r.w, r.h) for r in bytes_corpus.itertuples()}
+    for r in meta:
+        assert (r["w"], r["h"]) == orig[r["image_id"]]
+    small = resize(df, 16, 16).collect()
+    for r in small:
+        arr = C.decode_ppm(bytes(r["bytes"]))
+        assert arr.shape == (16, 16, 3)
+
+
+def test_unsupported_codec_is_poison_pill_row(spark):
+    rows = [{"image_id": "x/jpeg1", "bytes": b"\xff\xd8\xff\xe0fakejpeg", "fmt": "jpeg"}]
+    out = decode_meta(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    assert len(out) == 1 and not out[0]["decode_ok"]
+
+
+def test_crawl_with_payload_verification(spark, bytes_corpus):
+    """Every successfully fetched page must pass the decoded-phash check
+    — including pages reached through the left-join fetch where corpus
+    columns become NULLABLE (regression: nullable int64 phash crossing
+    Arrow->pandas as float64 silently broke every comparison)."""
+    run = crawl(spark, spark.createDataFrame(bytes_corpus), "https://h0.example-42.test/",
+                CrawlConfig(max_depth=3, same_path_prefix=False, verify_payload=True))
+    crawled = sum(m["crawled"] for m in run.metrics)
+    verified = sum(m.get("payload_ok", 0) for m in run.metrics)
+    assert crawled > 5  # multi-round reach
+    assert verified == crawled
+
+
+def test_payload_udf_rejects_corrupted_bytes(spark, bytes_corpus):
+    df = spark.createDataFrame(bytes_corpus).withColumn(
+        "bytes", F.expr("substring(bytes, 1, 100)"))  # truncate payloads
+    out = df.select(payload_ok_udf(
+        F.col("bytes"), F.col("fmt"), F.col("phash").cast("string")).alias("ok")).collect()
+    assert not any(r["ok"] for r in out)

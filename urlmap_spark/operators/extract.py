@@ -43,6 +43,14 @@ def hrefs_py(caption: str) -> list[str]:
     return re.findall(HREF_RE, caption or "")
 
 
+def explode_hrefs(pages: DataFrame, caption_col: str = "caption",
+                  use_udf_findall: bool = False) -> DataFrame:
+    """pages -> one row per (page, pos, raw href), document order in pos."""
+    findall = hrefs_udf(F.col(caption_col)) if use_udf_findall else hrefs_expr(F.col(caption_col))
+    return pages.select("*", F.posexplode_outer(findall).alias("pos", "href")) \
+                .drop(caption_col)
+
+
 def extract_outlinks(pages: DataFrame, base_col: str = "url",
                      caption_col: str = "caption", use_udf_findall: bool = False,
                      native_fast_path: bool = True) -> DataFrame:
@@ -62,51 +70,183 @@ def extract_outlinks(pages: DataFrame, base_col: str = "url",
     ``pos``. Parity of the native normalizer with the exact UDF is pinned
     by tests/test_urlkernel.py and the crawl-vs-oracle suite.
     """
-    from ..functions.urlkernel import is_valid_expr, normalize_simple_expr
+    exploded = explode_hrefs(pages, caption_col, use_udf_findall)
+    return canonicalize_links(exploded, base_col, native_fast_path)
 
-    findall = hrefs_udf(F.col(caption_col)) if use_udf_findall else hrefs_expr(F.col(caption_col))
-    exploded = pages.select(
-        "*", F.posexplode_outer(findall).alias("pos", "href")
+
+def href_category_expr() -> Column:
+    """Categorize the ``href`` column for hybrid canonicalization:
+    1 = absolute lowercase http(s), 2 = root-relative (no dot segments),
+    6 = bare relative (no scheme/dots), 9 = everything else (exact UDF).
+    Skip-scheme/empty/whitespace hrefs can never satisfy 1/2/6 (they all
+    contain ':', start with '#', or fail the trim/nonempty guards), so no
+    separate skip category is needed — the UDF branch drops them."""
+    href = F.col("href")
+    trimmed = href == F.trim(href)
+    nonempty = href != ""
+    # any '.' or '..' path segment disqualifies native resolution
+    dotseg = href.rlike(r"(^|/)\.{1,2}(/|$)")
+
+    is_abs = (href.startswith("http://") | href.startswith("https://")) & trimmed
+    is_rootrel = (
+        href.startswith("/") & ~href.startswith("//") & ~dotseg & trimmed
     )
+    # relative-merge resolution (urljoin) also collapses "//" inside a
+    # relative path — those go to the exact UDF
+    dslash = href.contains("//")
+    is_bare = (
+        nonempty & trimmed & ~href.contains(":") & ~dotseg & ~dslash
+        & ~href.startswith("/") & ~href.startswith(".")
+        & ~href.startswith("?") & ~href.startswith("#")
+    )
+    return (
+        F.when(is_abs, F.lit(1))
+        .when(is_rootrel, F.lit(2))
+        .when(is_bare, F.lit(6))
+        .otherwise(F.lit(9))
+    )
+
+
+def _light_host(url_col: Column) -> Column:
+    """lowercased host (port stripped) of a CANONICAL absolute URL —
+    cheap substring ops, no URI parser (hot-path twin of host_expr;
+    IPv6 literals are out of scope for the canonical corpus universe)."""
+    after = F.substring_index(url_col, "://", -1)
+    return F.lower(F.substring_index(F.substring_index(
+        F.substring_index(after, "/", 1), "?", 1), ":", 1))
+
+
+def _light_dir_path(url_col: Column) -> Column:
+    """directory-style path of a CANONICAL absolute URL ('' -> '/',
+    trailing '/' ensured) for prefix scope checks."""
+    after = F.substring_index(url_col, "://", -1)
+    raw = F.substring_index(
+        F.substring(after, F.length(F.substring_index(after, "/", 1)) + 1,
+                    F.lit(1 << 30)), "?", 1)
+    p = F.when(raw == "", F.lit("/")).otherwise(raw)
+    return F.when((p != "/") & ~p.endswith("/"), F.concat(p, F.lit("/"))).otherwise(p)
+
+
+def scope_condition(host_col: Column, dir_col: Column,
+                    seed_scopes: list[tuple[str, str]], prefix: bool) -> Column:
+    """ANY-seed scope: (host == seed_host) [and dir startswith seed_dir]."""
+    conds = []
+    for s_host, s_dir in seed_scopes:
+        c = host_col == F.lit(s_host)
+        if prefix:
+            c = c & dir_col.startswith(s_dir)
+        conds.append(c)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def canonicalize_links(exploded: DataFrame, base_col: str = "url",
+                       native_fast_path: bool = True,
+                       seed_scopes: list[tuple[str, str]] | None = None,
+                       scope_prefix: bool = True) -> DataFrame:
+    """exploded(base, ..., pos, href) -> rows with a canonical ``outlink``
+    column; hrefs the reference drops simply vanish.
+
+    seed_scopes: optional [(lowercased host, dir-path), ...] — the crawl's
+    same-domain/path-prefix scope filter, applied INSIDE each branch where
+    host/path are one-hop expressions over materialized columns. Applying
+    it as a filter above the branch union instead lets Catalyst clone the
+    condition into both branches with the full canonicalization tree
+    substituted in — a 20,000-line codegen method that exceeds Janino's
+    64 KB limit."""
     if not native_fast_path:
-        return (
+        out = (
             exploded
             .withColumn("outlink", canonical_outlink_udf(F.col(base_col), F.col("href")))
             .filter(F.col("outlink").isNotNull())
         )
-    # Absolute lowercase http(s) hrefs: the reference passes them through
-    # resolution untouched (parser.go:171-173), so canonicalization is
-    # validate + normalize — both native. (Uppercase schemes go to the
-    # UDF: Go's URL re-serialization lowercases the scheme.)
+        if seed_scopes:
+            out = out.filter(scope_condition(
+                _light_host(F.col("outlink")), _light_dir_path(F.col("outlink")),
+                seed_scopes, scope_prefix))
+        return out
+    # --- native canonicalization for the common href shapes ---------------
+    # The reference's per-href pipeline is pure string surgery for every
+    # href WITHOUT dot-segments / scheme oddities; those shapes stay in
+    # whole-stage codegen. Anything unusual (uppercase scheme, protocol-
+    # relative, '.'/'..' segments, untrimmed, colons) routes to the exact
+    # Arrow UDF. Parity is pinned by the crawl-vs-oracle suite and a
+    # dedicated hybrid-vs-UDF fuzz test.
+    # If the caller materialized the category already (the crawl does,
+    # inside its per-round checkpoint), reuse it: predicate pushdown
+    # otherwise substitutes the category CASE into BOTH branch filters,
+    # tripling the guard tree inside one fused codegen method (which then
+    # exceeds Janino's 64 KB bytecode limit and falls back to interpreted
+    # mode with per-task compile retries).
     href = F.col("href")
-    is_simple_abs = href.startswith("http://") | href.startswith("https://")
-    # Root-relative hrefs with no dot-segments resolve natively too:
-    # urljoin(base, "/p?q#f") == scheme://host(base) + "/p?q#f". Excluded
-    # (-> UDF): protocol-relative "//host/x", any "./"/"../" segment, a
-    # trailing "/." or "/..", and hrefs needing trimming.
-    is_simple_rootrel = (
-        href.startswith("/") & ~href.startswith("//")
-        & ~href.contains("./") & ~href.endswith("/.") & ~href.endswith("/..")
-        & (href == F.trim(href))
+    tagged = exploded if "_cat" in exploded.columns else \
+        exploded.withColumn("_cat", href_category_expr())
+    c = F.col("_cat")
+
+    # Single-pass assembly: normalize the PATH piece before concatenation
+    # instead of re-parsing the assembled URL. Every intermediate is its
+    # own column so each is referenced as an attribute — keeps the
+    # whole-stage-codegen method far below Janino's 64 KB limit (inlining
+    # normalize(resolve(when-tree)) blew past it and fell back to
+    # interpreted mode with compile retries per task).
+    base = F.col(base_col)
+    native = (
+        tagged.filter(c.between(1, 6))
+        # scheme://host[:port] — from the href itself for absolute hrefs
+        # (strip fragment+query first: "https://h?q" has no 3rd slash);
+        # canonical bases always have a path, so their 3rd slash is real
+        .withColumn("_sh", F.when(
+            c == 1,
+            F.substring_index(
+                F.substring_index(F.substring_index(href, "#", 1), "?", 1), "/", 3))
+            .otherwise(F.substring_index(base, "/", 3)))
+        # base path sans query (crawl bases are canonical absolute URLs)
+        .withColumn("_bp", F.substring_index(
+            F.substring(base, F.length(F.substring_index(base, "/", 3)) + 1,
+                        F.lit(1 << 30)), "?", 1))
+        .withColumn("_dir", F.regexp_replace(F.col("_bp"), r"[^/]*$", ""))
+        .withColumn("_dir", F.when(F.col("_dir") == "", F.lit("/")).otherwise(F.col("_dir")))
+        # host non-empty check for absolute hrefs (scheme verified above)
+        .filter((c != 1) | ~F.col("_sh").isin("http://", "https://"))
+        # path+query+fragment piece per category
+        .withColumn(
+            "_pq",
+            F.when(c == 1, F.substring(href, F.length("_sh") + 1, F.lit(1 << 30)))
+            .when(c == 2, href)
+            .otherwise(F.concat(F.col("_dir"), href)),  # cat 6 (bare)
+        )
+        # normalize: strip fragment, split query, trailing-slash & root rules
+        .withColumn("_nofrag", F.substring_index("_pq", "#", 1))
+        .withColumn("_p", F.substring_index("_nofrag", "?", 1))
+        .withColumn("_q", F.substring("_nofrag", F.length("_p") + 1, F.lit(1 << 30)))
+        .withColumn("_p", F.when(
+            (F.col("_p") != "/") & F.col("_p").endswith("/"),
+            F.substring("_p", 1, F.length("_p") - F.lit(1))).otherwise(F.col("_p")))
+        .withColumn("_p", F.when(F.col("_p") == "", F.lit("/")).otherwise(F.col("_p")))
+        .withColumn("outlink", F.concat("_sh", "_p", "_q"))
     )
-    # scheme://host of the (already canonical, absolute) base page url =
-    # everything before the 3rd '/'
-    scheme_host = F.substring_index(F.col(base_col), "/", 3)
-    fast_abs = (
-        exploded.filter(is_simple_abs)
-        .filter(F.coalesce(is_valid_expr(href), F.lit(False)))
-        .withColumn("outlink", normalize_simple_expr(href))
-    )
-    fast_rel = (
-        exploded.filter(~is_simple_abs & is_simple_rootrel)
-        .withColumn("outlink", normalize_simple_expr(F.concat(scheme_host, href)))
-    )
+    if seed_scopes:
+        # host from _sh (strip scheme+port), dir from the normalized _p —
+        # both one-hop expressions over materialized columns
+        n_host = F.lower(F.substring_index(F.substring_index(
+            F.col("_sh"), "://", -1), ":", 1))
+        n_dir = F.when(
+            (F.col("_p") != "/") & ~F.col("_p").endswith("/"),
+            F.concat(F.col("_p"), F.lit("/"))).otherwise(F.col("_p"))
+        native = native.filter(scope_condition(n_host, n_dir, seed_scopes, scope_prefix))
+    native = native.drop("_cat", "_sh", "_bp", "_dir", "_pq", "_nofrag", "_p", "_q")
     slow = (
-        exploded.filter(~is_simple_abs & ~is_simple_rootrel)
-        .withColumn("outlink", canonical_outlink_udf(F.col(base_col), href))
+        tagged.filter(c == 9).drop("_cat")
+        .withColumn("outlink", canonical_outlink_udf(base, href))
         .filter(F.col("outlink").isNotNull())
     )
-    return fast_abs.unionByName(fast_rel).unionByName(slow)
+    if seed_scopes:
+        slow = slow.filter(scope_condition(
+            _light_host(F.col("outlink")), _light_dir_path(F.col("outlink")),
+            seed_scopes, scope_prefix))
+    return native.unionByName(slow)
 
 
 def extract_outlinks_py(base_url: str, caption: str) -> list[str]:

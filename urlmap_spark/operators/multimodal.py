@@ -103,7 +103,8 @@ LOSSLESS_FMTS = {"ppm", "png"}
 
 
 def verify_payload(corpus: DataFrame, seed: int, n_hosts: int, total_pages: int,
-                   min_psnr: float = 40.0) -> DataFrame:
+                   min_psnr: float = 40.0,
+                   fanout: tuple[int, int] = (3, 8)) -> DataFrame:
     """Per-row invariant vs the generator (the 'reference rows'):
     decoded pixels allclose (lossless) or PSNR>=min_psnr (lossy),
     caption byte-equality vs regeneration, phash recompute equality.
@@ -126,8 +127,42 @@ def verify_payload(corpus: DataFrame, seed: int, n_hosts: int, total_pages: int,
                 else:
                     px_ok = p >= min_psnr
                 ph_ok = C.phash_of(arr) == r.phash
-                cap_ok = (r.caption or "") == C.caption_of(seed, hi, pj, counts[hi], n_hosts)
+                cap_ok = (r.caption or "") == C.caption_of(
+                    seed, hi, pj, counts[hi], n_hosts, fanout)
                 rows.append((r.image_id, bool(px_ok), float(p), bool(cap_ok), bool(ph_ok)))
             yield pd.DataFrame(rows, columns=[f.name for f in VERIFY_SCHEMA.fields])
 
     return corpus.select("image_id", "bytes", "fmt", "caption", "phash").mapInPandas(gen, VERIFY_SCHEMA)
+
+
+from pyspark.sql.functions import pandas_udf  # noqa: E402
+
+
+@pandas_udf(T.BooleanType())
+def _payload_ok_udf(data: pd.Series, fmt: pd.Series, phash: pd.Series) -> pd.Series:
+    """Per-row fetch-payload invariant (input_hint): decode the image
+    bytes and compare the recomputed perceptual hash against the stored
+    one — the batch-engine analog of verifying a fetched body. Arrow-
+    batched; decode failures (unsupported codec, truncated bytes) are
+    False, never exceptions (poison-pill isolation).
+
+    ``phash`` MUST be passed as a STRING column: after the left fetch-
+    join it is nullable, and a nullable int64 crosses Arrow->pandas as
+    float64 — silently losing low bits of the 64-bit hash (observed:
+    every comparison failing by <1024). Strings are exact."""
+    out = []
+    for b, f, ph in zip(data, fmt, phash):
+        if b is None or ph is None:
+            out.append(False)
+            continue
+        try:
+            arr = C.decode_image(bytes(b), f)
+            out.append(int(C.phash_of(arr)) == int(ph))
+        except Exception:  # noqa: BLE001 — any decode failure is a False row
+            out.append(False)
+    return pd.Series(out, dtype=bool)
+
+
+# nondeterministic mark: stops Catalyst substituting the UDF into pushed
+# filters (same double-evaluation hazard as canonical_outlink_udf)
+payload_ok_udf = _payload_ok_udf.asNondeterministic()

@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
+from urllib.parse import urlsplit
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,7 +40,7 @@ from pyspark.sql import types as T
 
 from ..functions import urlcore
 from ..functions.urlkernel import same_domain_expr, same_path_prefix_expr, status_ok_expr
-from ..operators.extract import extract_outlinks
+from ..operators.extract import canonicalize_links, explode_hrefs, href_category_expr
 from ..operators.order import first_wins, with_global_order
 from ..operators.politeness import schedule_frontier
 from ..operators.robots import robots_gate
@@ -82,6 +83,8 @@ class CrawlConfig:
     max_rounds: int = 10_000
     frontier_partitions: int | None = None
     extract_partitions: int | None = None    # UDF-stage fan-out (default: cores)
+    verify_payload: bool = False             # decode fetched bytes + phash check
+                                             # (input_hint per-row invariant)
 
 
 @dataclass
@@ -138,256 +141,316 @@ def crawl(
                 seeds.append(n)
         seed = seeds[0]
 
-    catalog = RoundCatalog(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
-    # The crawl plan never touches `bytes`; select the narrow columns
-    # explicitly so even a cache() stays slim.
-    web = corpus.select("url", "caption", "status")
+    # The round plan places every filter by hand (depth gate before fetch,
+    # scope before dedup, ...). Catalyst's PushPredicateThroughNonJoin
+    # would "improve" it by substituting each filter's condition through
+    # the canonicalization withColumn chain — the substitution is
+    # recursive and duplicates the string-surgery tree hundreds of times
+    # (observed: a single Filter with ~500 regex matchers, a 55k-line
+    # whole-stage-codegen class, Janino's 64 KB limit exceeded, and every
+    # task paying compile-retry + interpreted fallback). Excluded for the
+    # duration of the crawl; restored after.
+    _EXCLUDE = "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates"
+    old_excluded = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        _EXCLUDE if not old_excluded else f"{old_excluded},{_EXCLUDE}",
+    )
 
-    metrics: list[dict] = []
-    results_parts: list[DataFrame] = []
+    try:
+        catalog = RoundCatalog(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+        # The crawl plan never touches `bytes` unless payload verification
+        # is on; select the narrow columns explicitly so even a cache()
+        # stays slim. With verification, bytes flow ONLY through the fetch
+        # join into the Arrow decode UDF and are dropped before the round
+        # checkpoint — pixels never enter `seen`/frontier state or a
+        # second shuffle.
+        if cfg.verify_payload:
+            web = corpus.select("url", "caption", "status", "bytes", "fmt", "phash")
+        else:
+            web = corpus.select("url", "caption", "status")
 
-    if resume and catalog is not None and catalog.last_round() is not None:
-        last = catalog.last_round()
-        frontier = catalog.read(spark, last, "next_frontier")
-        seen = catalog.read_union(spark, "seen_delta", upto=last).select("url")
-        if seeds:
-            seen = seen.unionByName(
-                spark.createDataFrame([(s,) for s in seeds], "url string"))
-        m = catalog.read_metrics(last)
-        order_counter = int(m["order_counter"])
-        round_idx = last + 1
-        metrics = [catalog.read_metrics(r) for r in catalog.committed_rounds()]
-    elif seeds_df is not None:
-        from ..functions.urlkernel import is_valid_udf, normalize_udf
+        metrics: list[dict] = []
+        results_parts: list[DataFrame] = []
 
-        norm = (
-            seeds_df.select(normalize_udf(F.trim(F.col("url"))).alias("url"),
-                            is_valid_udf(F.trim(F.col("url"))).alias("_v"))
-            .filter(F.col("_v") & F.col("url").isNotNull())
-            .select("url").dropDuplicates(["url"])
-        )
-        frontier, order_counter = with_global_order(
-            norm.withColumn("depth", F.lit(0)), ["url"], order_col="order",
-            start=0, num_partitions=cfg.frontier_partitions)
-        frontier = frontier.select("url", "depth", "order").localCheckpoint(eager=True)
-        seen = frontier.select("url")
-        round_idx = 0
-    else:
-        frontier = spark.createDataFrame(
-            [(s, 0, i) for i, s in enumerate(seeds)], FRONTIER_SCHEMA)
-        if len(seeds) > 64:
-            frontier = frontier.repartition(
-                cfg.frontier_partitions or spark.sparkContext.defaultParallelism)
-        seen = frontier.select("url")
-        order_counter = len(seeds)
-        round_idx = 0
+        if resume and catalog is not None and catalog.last_round() is not None:
+            last = catalog.last_round()
+            frontier = catalog.read(spark, last, "next_frontier")
+            seen = catalog.read_union(spark, "seen_delta", upto=last).select("url")
+            if seeds:
+                seen = seen.unionByName(
+                    spark.createDataFrame([(s,) for s in seeds], "url string"))
+            m = catalog.read_metrics(last)
+            order_counter = int(m["order_counter"])
+            round_idx = last + 1
+            metrics = [catalog.read_metrics(r) for r in catalog.committed_rounds()]
+        elif seeds_df is not None:
+            from ..functions.urlkernel import is_valid_udf, normalize_udf
 
-    # seen is kept as a list of materialized deltas (union on demand):
-    # no per-round checkpoint of the whole set, compacted past a threshold
-    seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
-    total_skipped = 0
-    politeness = (cfg.host_quota is not None or cfg.default_quota is not None
-                  or cfg.global_cap is not None)
-    # driver-side frontier count: known from the previous round's ordering
-    # pass (no count() job per round); -1 = unknown (resume), count once
-    n_frontier = (frontier.count()
-                  if (resume and catalog is not None) or seeds_df is not None
-                  else len(seeds))
+            norm = (
+                seeds_df.select(normalize_udf(F.trim(F.col("url"))).alias("url"),
+                                is_valid_udf(F.trim(F.col("url"))).alias("_v"))
+                .filter(F.col("_v") & F.col("url").isNotNull())
+                .select("url").dropDuplicates(["url"])
+            )
+            frontier, order_counter = with_global_order(
+                norm.withColumn("depth", F.lit(0)), ["url"], order_col="order",
+                start=0, num_partitions=cfg.frontier_partitions)
+            frontier = frontier.select("url", "depth", "order").localCheckpoint(eager=True)
+            seen = frontier.select("url")
+            round_idx = 0
+        else:
+            frontier = spark.createDataFrame(
+                [(s, 0, i) for i, s in enumerate(seeds)], FRONTIER_SCHEMA)
+            if len(seeds) > 64:
+                frontier = frontier.repartition(
+                    cfg.frontier_partitions or spark.sparkContext.defaultParallelism)
+            seen = frontier.select("url")
+            order_counter = len(seeds)
+            round_idx = 0
 
-    while round_idx < cfg.max_rounds and n_frontier > 0:
-        t0 = time.time()
-        tick = _Tick(round_idx)
+        # seen is kept as a list of materialized deltas (union on demand):
+        # no per-round checkpoint of the whole set, compacted past a threshold
+        seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
+        total_skipped = 0
+        politeness = (cfg.host_quota is not None or cfg.default_quota is not None
+                      or cfg.global_cap is not None)
+        # driver-side frontier count: known from the previous round's ordering
+        # pass (no count() job per round); -1 = unknown (resume), count once
+        n_frontier = (frontier.count()
+                      if (resume and catalog is not None) or seeds_df is not None
+                      else len(seeds))
 
-        # --- dequeue-time depth gate (reference: crawler.go:207-211).
-        # Pure BFS keeps one depth per round (= round_idx), so the gate is
-        # a driver-side comparison; with politeness deferral depths mix and
-        # we fall back to a real filter.
-        skipped_depth = 0
-        if cfg.max_depth >= 0 and not politeness:
-            if round_idx > cfg.max_depth:
-                skipped_depth = n_frontier
-                process = None
+        while round_idx < cfg.max_rounds and n_frontier > 0:
+            t0 = time.time()
+            tick = _Tick(round_idx)
+
+            # --- dequeue-time depth gate (reference: crawler.go:207-211).
+            # Pure BFS keeps one depth per round (= round_idx), so the gate is
+            # a driver-side comparison; with politeness deferral depths mix and
+            # we fall back to a real filter.
+            skipped_depth = 0
+            if cfg.max_depth >= 0 and not politeness:
+                if round_idx > cfg.max_depth:
+                    skipped_depth = n_frontier
+                    process = None
+                else:
+                    process = frontier
+            elif cfg.max_depth >= 0:
+                process = frontier.filter(F.col("depth") <= cfg.max_depth).persist()
+                n_process = process.count()
+                skipped_depth = n_frontier - n_process
+                if n_process == 0:
+                    process = None
             else:
                 process = frontier
-        elif cfg.max_depth >= 0:
-            process = frontier.filter(F.col("depth") <= cfg.max_depth).persist()
-            n_process = process.count()
-            skipped_depth = n_frontier - n_process
-            if n_process == 0:
-                process = None
-        else:
-            process = frontier
-        if process is None:
-            metrics.append({
-                "round": round_idx, "frontier": n_frontier, "processed": 0,
-                "crawled": 0, "failed": 0, "skipped_depth": skipped_depth,
-                "blocked_robots": 0, "new_discovered": 0, "max_depth": 0,
-                "order_counter": order_counter, "wall_s": round(time.time() - t0, 3),
-            })
-            total_skipped += skipped_depth
-            break
+            if process is None:
+                metrics.append({
+                    "round": round_idx, "frontier": n_frontier, "processed": 0,
+                    "crawled": 0, "failed": 0, "skipped_depth": skipped_depth,
+                    "blocked_robots": 0, "new_discovered": 0, "max_depth": 0,
+                    "order_counter": order_counter, "wall_s": round(time.time() - t0, 3),
+                    **({"payload_ok": 0} if cfg.verify_payload else {}),
+                })
+                total_skipped += skipped_depth
+                break
 
-        # --- politeness schedule (quota overflow re-queues, never drops) --
-        n_deferred = 0
-        if politeness:
-            sched, deferred = schedule_frontier(
-                process, cfg.host_quota, cfg.default_quota, cfg.global_cap)
-            deferred = deferred.select("url", "depth", "order").localCheckpoint(eager=True)
-            n_deferred = deferred.count()
-        else:
-            sched, deferred = process, None
+            # --- politeness schedule (quota overflow re-queues, never drops) --
+            n_deferred = 0
+            if politeness:
+                sched, deferred = schedule_frontier(
+                    process, cfg.host_quota, cfg.default_quota, cfg.global_cap)
+                deferred = deferred.select("url", "depth", "order").localCheckpoint(eager=True)
+                n_deferred = deferred.count()
+            else:
+                sched, deferred = process, None
 
-        # --- robots gate (disallowed = skipped, reference: crawler.go:583-600)
-        if cfg.robots_rules is not None:
-            gated = robots_gate(sched, cfg.robots_rules).localCheckpoint(eager=True)
-            allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
-            blocked_robots = gated.filter(~F.col("robots_allowed")).count()
-        else:
-            allowed, blocked_robots = sched, 0
+            # --- robots gate (disallowed = skipped, reference: crawler.go:583-600)
+            if cfg.robots_rules is not None:
+                gated = robots_gate(sched, cfg.robots_rules).localCheckpoint(eager=True)
+                allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
+                blocked_robots = gated.filter(~F.col("robots_allowed")).count()
+            else:
+                allowed, blocked_robots = sched, 0
 
-        # --- fetch = join against the corpus (reference: client.Get ->
-        #     crawler.go:331-334 status window; misses stay as failed rows).
-        # Eager checkpoint: ONE materialization reused by results, metrics
-        # and extraction (and truncates the per-round lineage chain, which
-        # otherwise OOMs plan compilation after ~10 rounds).
-        fetched = (
-            allowed.join(web, "url", "left")
-            .withColumn("ok", F.coalesce(status_ok_expr(F.col("status")), F.lit(False)))
-            .withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
-        ).localCheckpoint(eager=True)
-        tick("fetch_ckpt")
+            # --- fetch = join against the corpus (reference: client.Get ->
+            #     crawler.go:331-334 status window; misses stay as failed rows).
+            # Eager checkpoint: ONE materialization reused by results, metrics
+            # and extraction (and truncates the per-round lineage chain, which
+            # otherwise OOMs plan compilation after ~10 rounds).
+            fetched = (
+                allowed.join(web, "url", "left")
+                .withColumn("ok", F.coalesce(status_ok_expr(F.col("status")), F.lit(False)))
+                .withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
+            )
+            if cfg.verify_payload:
+                from ..operators.multimodal import payload_ok_udf
 
-        agg = fetched.agg(
-            F.count("*").alias("processed"),
-            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("crawled"),
-            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
-            F.max("depth").alias("max_depth"),
-        ).collect()[0]
-        tick("metrics_agg")
+                fetched = fetched.withColumn(
+                    "payload_ok",
+                    F.when(F.col("ok"),
+                           # phash as string: nullable int64 -> float64
+                           # through Arrow loses hash bits (see UDF doc)
+                           payload_ok_udf(F.col("bytes"), F.col("fmt"),
+                                          F.col("phash").cast("string")))
+                    .otherwise(F.lit(False)),
+                ).drop("bytes", "fmt", "phash")
+            fetched = fetched.localCheckpoint(eager=True)
+            tick("fetch_ckpt")
 
-        # --- outlink extraction on OK pages only (crawler.go:644).
-        # Explicit repartition before the pandas UDF: AQE coalesces
-        # post-shuffle partitions by BYTES and would funnel the (cheap-in-
-        # bytes, expensive-in-CPU) extraction into a handful of tasks —
-        # the UDF stage must be spread across all cores explicitly.
-        n_extract = cfg.extract_partitions or spark.sparkContext.defaultParallelism
-        links = extract_outlinks(
-            fetched.filter(F.col("ok")).select("url", "depth", "order", "caption")
-            .repartition(n_extract)
-        ).select(
-            F.col("outlink"),
-            F.col("order").alias("parent_order"),
-            F.col("pos"),
-            (F.col("depth") + 1).alias("depth"),
-        )
+            agg = fetched.agg(
+                F.count("*").alias("processed"),
+                F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("crawled"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
+                F.max("depth").alias("max_depth"),
+                *([F.sum(F.when(F.col("payload_ok"), 1).otherwise(0)).alias("payload_ok")]
+                  if cfg.verify_payload else []),
+            ).collect()[0]
+            tick("metrics_agg")
 
-        # --- scope filter vs the normalized seed(s) (crawler.go:233-249).
-        # Multi-seed: a link is in scope if it matches ANY seed (OR-chain;
-        # seed lists here are config-sized — a frontier-scale seed table
-        # would use a broadcast join on host instead).
-        if cfg.same_domain:
-            per_seed = [
-                same_path_prefix_expr(F.lit(s), F.col("outlink"))
-                if cfg.same_path_prefix
-                else same_domain_expr(F.lit(s), F.col("outlink"))
-                for s in seeds[:64]
-            ]
-            if len(seeds) > 64:
-                raise ValueError("scoped crawls support at most 64 seeds; "
-                                 "disable same_domain for open crawls")
-            scope = per_seed[0]
-            for p in per_seed[1:]:
-                scope = scope | p
-            links = links.filter(F.coalesce(scope, F.lit(False)))
+            # --- outlink extraction on OK pages only (crawler.go:644).
+            # Explicit repartition before the expensive canonicalization: AQE
+            # coalesces post-shuffle partitions by BYTES and would funnel the
+            # (cheap-in-bytes, expensive-in-CPU) stage into a handful of tasks.
+            # The exploded hrefs are materialized once per round: it (a) runs
+            # the findall a single time instead of once per canonicalization
+            # branch, and (b) keeps the posexplode in its own codegen stage —
+            # fused with the canonicalization when-tree the Generate's consume
+            # method exceeds Janino's 64 KB limit and every task pays compile-
+            # retry + interpreted fallback.
+            n_extract = cfg.extract_partitions or spark.sparkContext.defaultParallelism
+            exploded = (
+                explode_hrefs(
+                    fetched.filter(F.col("ok")).select("url", "depth", "order", "caption")
+                )
+                # materialize the href category here: the two canonicalization
+                # branch filters then reference a plain int attribute instead
+                # of having the category CASE substituted into each of them
+                .withColumn("_cat", href_category_expr())
+                .repartition(n_extract)
+                .localCheckpoint(eager=True)
+            )
+            tick("explode_ckpt")
 
-        # --- first-wins intra-round dedup + anti-join the seen set --------
-        seen = seen_parts[0]
-        for p in seen_parts[1:]:
-            seen = seen.unionByName(p)
-        new = first_wins(
-            links.select(F.col("outlink").alias("url"), "parent_order", "pos", "depth"),
-            "url", ["parent_order", "pos"],
-        ).join(seen, "url", "left_anti").localCheckpoint(eager=True)
-        tick("extract_dedup_ckpt")
+            # --- scope vs the normalized seed(s) (crawler.go:233-249) is
+            # applied INSIDE canonicalize_links, per branch, with the seed
+            # host/dir precomputed as Python literals — see
+            # operators/extract.py for the codegen-size rationale.
+            seed_scopes = None
+            if cfg.same_domain:
+                if len(seeds) > 64:
+                    raise ValueError("scoped crawls support at most 64 seeds; "
+                                     "disable same_domain for open crawls")
+                seed_scopes = [
+                    ((urlcore.extract_domain(s) or "").lower(),
+                     urlcore._dir_path(urlsplit(s).path or "/"))
+                    for s in seeds
+                ]
+            links = canonicalize_links(
+                exploded, seed_scopes=seed_scopes,
+                scope_prefix=cfg.same_path_prefix,
+            ).select(
+                F.col("outlink"),
+                F.col("order").alias("parent_order"),
+                F.col("pos"),
+                (F.col("depth") + 1).alias("depth"),
+            )
 
-        # --- assign global crawl order (FIFO enqueue order); the ordering
-        # pass's partition counts double as the new-URL count (free)
-        prev_counter = order_counter
-        new_frontier, order_counter = with_global_order(
-            new, ["parent_order", "pos"], order_col="order", start=order_counter,
-            num_partitions=cfg.frontier_partitions,
-        )
-        tick("order_counts")
-        n_new = order_counter - prev_counter
-        new_frontier = new_frontier.select("url", "depth", "order")
+            # --- first-wins intra-round dedup + anti-join the seen set --------
+            seen = seen_parts[0]
+            for p in seen_parts[1:]:
+                seen = seen.unionByName(p)
+            new = first_wins(
+                links.select(F.col("outlink").alias("url"), "parent_order", "pos", "depth"),
+                "url", ["parent_order", "pos"],
+            ).join(seen, "url", "left_anti").localCheckpoint(eager=True)
+            tick("extract_dedup_ckpt")
 
-        next_frontier = (
-            new_frontier.unionByName(deferred) if deferred is not None else new_frontier
-        ).localCheckpoint(eager=True)
-        tick("frontier_ckpt")
+            # --- assign global crawl order (FIFO enqueue order); the ordering
+            # pass's partition counts double as the new-URL count (free)
+            prev_counter = order_counter
+            new_frontier, order_counter = with_global_order(
+                new, ["parent_order", "pos"], order_col="order", start=order_counter,
+                num_partitions=cfg.frontier_partitions,
+            )
+            tick("order_counts")
+            n_new = order_counter - prev_counter
+            new_frontier = new_frontier.select("url", "depth", "order")
 
-        results_r = fetched.select(
-            "url", "depth", "order", "status", "ok",
-            F.lit(round_idx).alias("round"),
-        ).withColumn("n_links", F.lit(None).cast("int")).select(*RESULT_COLUMNS)
+            next_frontier = (
+                new_frontier.unionByName(deferred) if deferred is not None else new_frontier
+            ).localCheckpoint(eager=True)
+            tick("frontier_ckpt")
 
-        m = {
-            "round": round_idx,
-            "frontier": n_frontier,
-            "processed": int(agg["processed"] or 0),
-            "crawled": int(agg["crawled"] or 0),
-            "failed": int(agg["failed"] or 0),
-            "skipped_depth": skipped_depth,
-            "blocked_robots": int(blocked_robots),
-            "new_discovered": n_new,
-            "max_depth": int(agg["max_depth"] or 0),
-            "order_counter": order_counter,
-            "wall_s": round(time.time() - t0, 3),
-        }
-        total_skipped += skipped_depth + int(blocked_robots)
+            results_r = fetched.select(
+                "url", "depth", "order", "status", "ok",
+                F.lit(round_idx).alias("round"),
+            ).withColumn("n_links", F.lit(None).cast("int")).select(*RESULT_COLUMNS)
+
+            m = {
+                "round": round_idx,
+                "frontier": n_frontier,
+                "processed": int(agg["processed"] or 0),
+                "crawled": int(agg["crawled"] or 0),
+                "failed": int(agg["failed"] or 0),
+                "skipped_depth": skipped_depth,
+                "blocked_robots": int(blocked_robots),
+                "new_discovered": n_new,
+                "max_depth": int(agg["max_depth"] or 0),
+                "order_counter": order_counter,
+                "wall_s": round(time.time() - t0, 3),
+                **({"payload_ok": int(agg["payload_ok"] or 0)} if cfg.verify_payload else {}),
+            }
+            total_skipped += skipped_depth + int(blocked_robots)
+
+            if catalog is not None:
+                lineage = next_frontier.groupBy(
+                    F.expr("try_parse_url(url, 'HOST')").alias("host")
+                ).agg(F.count("*").alias("n"), F.min("order").alias("min_order"),
+                      F.max("order").alias("max_order"))
+                catalog.commit_round(round_idx, {
+                    "results": results_r,
+                    "next_frontier": next_frontier,
+                    "seen_delta": new.select("url"),
+                    "lineage": lineage,
+                }, m)
+                # re-read from storage: snapshot-isolated resume point
+                frontier = catalog.read(spark, round_idx, "next_frontier")
+                seen_parts.append(catalog.read(spark, round_idx, "seen_delta"))
+            else:
+                results_parts.append(results_r)
+                seen_parts.append(new.select("url"))
+                frontier = next_frontier
+
+            if len(seen_parts) > 64:  # bound the union width on deep crawls
+                compacted = seen_parts[0]
+                for p in seen_parts[1:]:
+                    compacted = compacted.unionByName(p)
+                seen_parts = [compacted.localCheckpoint(eager=True)]
+
+            n_frontier = n_new + n_deferred
+            metrics.append(m)
+            round_idx += 1
 
         if catalog is not None:
-            lineage = next_frontier.groupBy(
-                F.expr("try_parse_url(url, 'HOST')").alias("host")
-            ).agg(F.count("*").alias("n"), F.min("order").alias("min_order"),
-                  F.max("order").alias("max_order"))
-            catalog.commit_round(round_idx, {
-                "results": results_r,
-                "next_frontier": next_frontier,
-                "seen_delta": new.select("url"),
-                "lineage": lineage,
-            }, m)
-            # re-read from storage: snapshot-isolated resume point
-            frontier = catalog.read(spark, round_idx, "next_frontier")
-            seen_parts.append(catalog.read(spark, round_idx, "seen_delta"))
+            results = catalog.read_union(spark, "results")
+            seen_df = catalog.read_union(spark, "seen_delta").select("url")
+            if seeds:
+                seen_df = seen_df.unionByName(
+                    spark.createDataFrame([(s,) for s in seeds], "url string"))
         else:
-            results_parts.append(results_r)
-            seen_parts.append(new.select("url"))
-            frontier = next_frontier
-
-        if len(seen_parts) > 64:  # bound the union width on deep crawls
-            compacted = seen_parts[0]
+            results = results_parts[0] if results_parts else spark.createDataFrame([], T.StructType(
+                [T.StructField(c, T.StringType()) for c in RESULT_COLUMNS]))
+            for p in results_parts[1:]:
+                results = results.unionByName(p)
+            seen_df = seen_parts[0]
             for p in seen_parts[1:]:
-                compacted = compacted.unionByName(p)
-            seen_parts = [compacted.localCheckpoint(eager=True)]
+                seen_df = seen_df.unionByName(p)
 
-        n_frontier = n_new + n_deferred
-        metrics.append(m)
-        round_idx += 1
+        return CrawlRun(results=results, metrics=metrics, rounds=round_idx, seen=seen_df)
 
-    if catalog is not None:
-        results = catalog.read_union(spark, "results")
-        seen_df = catalog.read_union(spark, "seen_delta").select("url")
-        if seeds:
-            seen_df = seen_df.unionByName(
-                spark.createDataFrame([(s,) for s in seeds], "url string"))
-    else:
-        results = results_parts[0] if results_parts else spark.createDataFrame([], T.StructType(
-            [T.StructField(c, T.StringType()) for c in RESULT_COLUMNS]))
-        for p in results_parts[1:]:
-            results = results.unionByName(p)
-        seen_df = seen_parts[0]
-        for p in seen_parts[1:]:
-            seen_df = seen_df.unionByName(p)
-
-    return CrawlRun(results=results, metrics=metrics, rounds=round_idx, seen=seen_df)
+    finally:
+        if old_excluded:
+            spark.conf.set("spark.sql.optimizer.excludedRules", old_excluded)
+        else:
+            spark.conf.unset("spark.sql.optimizer.excludedRules")
