@@ -1,0 +1,89 @@
+"""Training-data dedup operators: exact, n-gram Jaccard, MinHash-LSH,
+SimHash, embedding near-dup — correctness on constructed corpora."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from urlmap_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),         # near dup of 0
+        (3, "completely different text about spark shuffle partitions and joins"),
+        (4, base.replace("today", "tomorrow")),      # near dup of 0
+        (5, "another unrelated document mentioning parquet files and bloom filters"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keeper_id"]: r["dup_count"] for r in D.exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0 and 1 collapse
+    assert sum(out.values()) == 6
+    assert len(out) == 5
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (0, 4) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                          threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0          # identical docs always collide
+    assert (0, 2) in pairs or (0, 4) in pairs  # near dups found
+    assert not any((3 in p or 5 in p) for p in pairs)
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs):
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in D.minhash_lsh_pairs(docs, num_hashes=64, bands=32,
+                                        threshold=0.0).collect()}
+    true = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.0, n=3).collect()}
+    for p, e in est.items():
+        if p in true:
+            assert abs(e - true[p]) < 0.3, (p, e, true[p])
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+    assert (3, 5) not in pairs
+
+
+def test_simhash_deterministic(spark, docs):
+    a = sorted(tuple(r) for r in D.simhash_column(docs).collect())
+    b = sorted(tuple(r) for r in D.simhash_column(docs.repartition(7)).collect())
+    assert a == b
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16)
+    rows = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.standard_normal(16)).tolist()),  # near dup
+        (2, rng.standard_normal(16).tolist()),
+        (3, (-base).tolist()),                                    # anti-parallel
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in D.embedding_neardup_pairs(emb, threshold=0.9).collect()}
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] > 0.99

@@ -1,0 +1,69 @@
+"""Output post-processing goldens (reference: internal/output/
+output_test.go:10-62 dedup, :201-299 formats)."""
+
+import json
+
+from urlmap_spark.operators import output as O
+
+
+def _results(spark):
+    rows = [
+        ("https://h.test/b", 1, 1, 200, True),
+        ("https://h.test/a", 1, 2, 200, True),
+        ("https://h.test/b", 2, 3, 200, True),   # duplicate URL
+        ("https://h.test/c", 2, 4, 404, False),  # failed rows kept in output
+    ]
+    return spark.createDataFrame(
+        rows, "url string, depth int, `order` long, status int, ok boolean")
+
+
+def test_unique_sorted(spark):
+    urls = [r["url"] for r in O.unique_sorted_urls(_results(spark)).collect()]
+    assert urls == ["https://h.test/a", "https://h.test/b", "https://h.test/c"]
+
+
+def test_dedup_preserving_order(spark):
+    rows = O.dedup_preserving_order(_results(spark)).orderBy("order").collect()
+    assert [r["url"] for r in rows] == [
+        "https://h.test/b", "https://h.test/a", "https://h.test/c"]
+
+
+def test_success_only_and_all(spark):
+    df = _results(spark)
+    assert O.successful_urls(df).count() == 3
+    assert O.all_urls(df).count() == 4  # failed URLs included (main.go:227-230)
+
+
+def test_formats(spark, tmp_path):
+    urls = O.unique_sorted_urls(_results(spark))
+    O.write_output(urls, str(tmp_path / "t"), "text")
+    import glob
+
+    txt = open(glob.glob(str(tmp_path / "t" / "part-*"))[0]).read().splitlines()
+    assert txt == ["https://h.test/a", "https://h.test/b", "https://h.test/c"]
+
+    doc = O.format_json(urls).collect()[0]["value"]
+    parsed = json.loads(doc)
+    assert parsed["total"] == 3
+    assert [u["url"] for u in parsed["urls"]] == txt
+    assert all("timestamp" in u for u in parsed["urls"])
+
+    csv_rows = O.format_csv(urls).collect()
+    assert {r["url"] for r in csv_rows} == set(txt)
+    assert all("T" in r["timestamp"] for r in csv_rows)  # RFC3339
+
+    xml = O.xml_document(urls)
+    assert xml.startswith('<?xml version="1.0"')
+    assert xml.count("<url>") == 3
+
+    try:
+        O.write_output(urls, str(tmp_path / "bad"), "yaml")
+        raise AssertionError("unsupported format must raise")
+    except ValueError as e:
+        assert "yaml" in str(e)
+
+
+def test_xml_escaping(spark):
+    df = spark.createDataFrame([("https://h.test/a?x=1&y=<2>",)], "url string")
+    xml = O.xml_document(df)
+    assert "&amp;" in xml and "&lt;" in xml

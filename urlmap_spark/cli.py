@@ -1,0 +1,114 @@
+"""spark-submit entry point — the CLI twin of the reference binary.
+
+    spark-submit --py-files urlmap_spark.zip -m urlmap_spark.cli \\
+        --corpus /path/to/corpus.parquet --depth 2 \\
+        --output-format text --output out/ https://seed.test/
+
+Mirrors the reference's flag surface where it translates to batch
+execution (reference: cmd/urlmap/main.go:82-113): --depth (-1 default),
+--output-format text|json|csv|xml, --respect-robots, --rate-limit
+(per-round cap), --verbose; crawl scoping matches the reference's
+hard-coded same-domain+path-prefix defaults with flags to relax them.
+Batch-only flags: --corpus (the web-as-a-table), --checkpoint/--resume,
+--seeds-file (seed list), --verify-payload, --quota.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="urlmap-spark", description=__doc__)
+    p.add_argument("seed", nargs="*", help="start URL(s)")
+    p.add_argument("--corpus", required=True, help="parquet path of the corpus table")
+    p.add_argument("--seeds-file", help="file with one seed URL per line")
+    p.add_argument("--depth", type=int, default=-1, help="max depth (-1 = unlimited)")
+    p.add_argument("--no-same-domain", action="store_true")
+    p.add_argument("--no-path-prefix", action="store_true")
+    p.add_argument("--respect-robots", action="store_true")
+    p.add_argument("--robots-lines", help="parquet path of (host, lineno, line) robots lines")
+    p.add_argument("--user-agent", default="urlmap/1.0")
+    p.add_argument("--rate-limit", type=int, default=0,
+                   help="global per-round fetch cap (0 = unlimited)")
+    p.add_argument("--quota", type=int, default=0, help="per-host per-round cap (0 = unlimited)")
+    p.add_argument("--checkpoint", help="checkpoint directory (enables resume)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--verify-payload", action="store_true",
+                   help="decode fetched image bytes and verify phash per row")
+    p.add_argument("--output", help="output path (default: print to stdout)")
+    p.add_argument("--output-format", default="text",
+                   choices=["text", "json", "csv", "xml"])
+    p.add_argument("--master", default=None)
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    seeds = list(args.seed)
+    if args.seeds_file:
+        with open(args.seeds_file) as f:
+            seeds += [line.strip() for line in f if line.strip()]
+    if not seeds:
+        print("error: at least one seed URL is required", file=sys.stderr)
+        return 2
+
+    from .operators.output import unique_sorted_urls, write_output, xml_document
+    from .operators.robots import parse_robots
+    from .plans.crawl import CrawlConfig, crawl
+    from .session import get_spark
+
+    spark = get_spark(master=args.master, app_name="urlmap_spark_cli")
+    if args.verbose:
+        spark.sparkContext.setLogLevel("INFO")
+
+    corpus = spark.read.parquet(args.corpus)
+    robots_rules = None
+    if args.respect_robots and args.robots_lines:
+        robots_rules, _ = parse_robots(spark.read.parquet(args.robots_lines),
+                                       user_agent=args.user_agent)
+    cfg = CrawlConfig(
+        max_depth=args.depth,
+        same_domain=not args.no_same_domain,
+        same_path_prefix=not args.no_path_prefix,
+        user_agent=args.user_agent,
+        robots_rules=robots_rules,
+        default_quota=args.quota or None,
+        global_cap=args.rate_limit or None,
+        checkpoint_dir=args.checkpoint,
+        verify_payload=args.verify_payload,
+    )
+    run = crawl(spark, corpus, seeds if len(seeds) > 1 else seeds[0], cfg,
+                resume=args.resume)
+    urls = unique_sorted_urls(run.results)
+
+    if args.output:
+        write_output(urls, args.output, args.output_format)
+    elif args.output_format == "xml":
+        print(xml_document(urls))
+    elif args.output_format == "json":
+        from .operators.output import format_json
+
+        print(format_json(urls).collect()[0]["value"])
+    else:
+        for r in urls.toLocalIterator():
+            print(r["url"])
+
+    summary = {
+        "rounds": run.rounds,
+        "processed": sum(m.get("processed", 0) for m in run.metrics),
+        "crawled": sum(m.get("crawled", 0) for m in run.metrics),
+        "failed": sum(m.get("failed", 0) for m in run.metrics),
+        "skipped": sum(m.get("skipped_depth", 0) + m.get("blocked_robots", 0)
+                       for m in run.metrics),
+    }
+    print(json.dumps(summary), file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
