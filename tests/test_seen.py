@@ -1,0 +1,80 @@
+"""Partitioned bloom URL-seen structure (north_rule): the prefilter
+must never change anti-join results — only route definitely-new rows
+around the exact join."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from urlmap_spark.operators.seen import (
+    BloomConfig,
+    build_filters,
+    seen_anti_join,
+    split_candidates,
+)
+
+CFG = BloomConfig(n_buckets=8, m_bits=1 << 14, k=5)
+
+
+def _urls(spark, names, col="url"):
+    return spark.createDataFrame([(n,) for n in names], f"{col} string")
+
+
+def test_no_false_negatives(spark):
+    """Every seen URL must probe as 'maybe seen' — a bloom false
+    negative would silently re-crawl (or worse, re-order) URLs."""
+    seen_urls = [f"https://h{i % 5}.test/p{i}" for i in range(500)]
+    filters = build_filters(_urls(spark, seen_urls), CFG)
+    definitely_new, maybe = split_candidates(_urls(spark, seen_urls), filters, CFG)
+    assert definitely_new.count() == 0
+    assert maybe.count() == 500
+
+
+def test_prefilter_equivalence_with_plain_anti_join(spark):
+    seen_urls = [f"https://h{i % 5}.test/p{i}" for i in range(300)]
+    cands = [f"https://h{i % 7}.test/p{i}" for i in range(150, 600)]
+    seen = _urls(spark, seen_urls)
+    cand = _urls(spark, cands)
+    filters = build_filters(seen, CFG)
+    plain = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    bloom = {r["url"] for r in seen_anti_join(cand, seen, filters, CFG).collect()}
+    assert bloom == plain
+
+
+def test_incremental_merge(spark):
+    """Per-round delta merge (bitwise OR) must behave like one build."""
+    a = [f"https://a.test/{i}" for i in range(200)]
+    b = [f"https://b.test/{i}" for i in range(200)]
+    merged = build_filters(_urls(spark, b), CFG,
+                           existing=build_filters(_urls(spark, a), CFG))
+    dn, maybe = split_candidates(_urls(spark, a + b), merged, CFG)
+    assert dn.count() == 0 and maybe.count() == 400
+
+
+def test_false_positive_rate_bounded(spark):
+    """With m=16Ki bits / 8 buckets and 500 entries, FPR should be tiny;
+    assert a loose bound so the filter is actually doing work."""
+    seen_urls = [f"https://h{i % 5}.test/p{i}" for i in range(500)]
+    fresh = [f"https://new{i}.test/x{i}" for i in range(2000)]
+    filters = build_filters(_urls(spark, seen_urls), CFG)
+    dn, maybe = split_candidates(_urls(spark, fresh), filters, CFG)
+    fpr = maybe.count() / 2000
+    assert dn.count() + maybe.count() == 2000
+    assert fpr < 0.05, f"false-positive rate too high: {fpr}"
+
+
+def test_bloom_crawl_equals_plain_crawl(spark):
+    """End-to-end: a bloom-prefiltered crawl yields the identical
+    (url, depth, order) sequence as the plain exact-anti-join crawl."""
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+    from urlmap_spark.sources import corpus as C
+
+    pdf = C.corpus_pandas(seed=7, n_hosts=3, total_pages=40, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed_url = "https://h0.example-7.test/"
+    plain = crawl(spark, cdf, seed_url, CrawlConfig(max_depth=3, same_path_prefix=False))
+    bloom = crawl(spark, cdf, seed_url, CrawlConfig(
+        max_depth=3, same_path_prefix=False,
+        bloom_seen=True, bloom_buckets=8, bloom_bits=1 << 16))
+    a = [(r["url"], r["order"]) for r in plain.results.orderBy("order").collect()]
+    b = [(r["url"], r["order"]) for r in bloom.results.orderBy("order").collect()]
+    assert a == b

@@ -44,6 +44,7 @@ from ..operators.extract import canonicalize_links, explode_hrefs, href_category
 from ..operators.order import first_wins, with_global_order
 from ..operators.politeness import schedule_frontier
 from ..operators.robots import robots_gate
+from ..operators.seen import BloomConfig, build_filters, seen_anti_join
 from ..sources.catalog import RoundCatalog
 
 FRONTIER_SCHEMA = T.StructType([
@@ -85,6 +86,10 @@ class CrawlConfig:
     extract_partitions: int | None = None    # UDF-stage fan-out (default: cores)
     verify_payload: bool = False             # decode fetched bytes + phash check
                                              # (input_hint per-row invariant)
+    bloom_seen: bool = False                 # partitioned bloom prefilter in
+                                             # front of the exact seen anti-join
+    bloom_buckets: int = 32
+    bloom_bits: int = 1 << 22                # 512 KiB per bucket at default
 
 
 @dataclass
@@ -212,6 +217,12 @@ def crawl(
         # seen is kept as a list of materialized deltas (union on demand):
         # no per-round checkpoint of the whole set, compacted past a threshold
         seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
+        bloom_cfg = BloomConfig(cfg.bloom_buckets, cfg.bloom_bits) if cfg.bloom_seen else None
+        filters: DataFrame | None = None
+        if cfg.bloom_seen:
+            # (re)build from whatever seen state we started with — on
+            # resume this folds all committed deltas into fresh filters
+            filters = build_filters(seen_parts[0], bloom_cfg).localCheckpoint(eager=True)
         total_skipped = 0
         politeness = (cfg.host_quota is not None or cfg.default_quota is not None
                       or cfg.global_cap is not None)
@@ -360,10 +371,11 @@ def crawl(
             seen = seen_parts[0]
             for p in seen_parts[1:]:
                 seen = seen.unionByName(p)
-            new = first_wins(
+            deduped = first_wins(
                 links.select(F.col("outlink").alias("url"), "parent_order", "pos", "depth"),
                 "url", ["parent_order", "pos"],
-            ).join(seen, "url", "left_anti").localCheckpoint(eager=True)
+            )
+            new = seen_anti_join(deduped, seen, filters, bloom_cfg).localCheckpoint(eager=True)
             tick("extract_dedup_ckpt")
 
             # --- assign global crawl order (FIFO enqueue order); the ordering
@@ -408,12 +420,15 @@ def crawl(
                     F.expr("try_parse_url(url, 'HOST')").alias("host")
                 ).agg(F.count("*").alias("n"), F.min("order").alias("min_order"),
                       F.max("order").alias("max_order"))
-                catalog.commit_round(round_idx, {
+                tables = {
                     "results": results_r,
                     "next_frontier": next_frontier,
                     "seen_delta": new.select("url"),
                     "lineage": lineage,
-                }, m)
+                }
+                if cfg.bloom_seen:
+                    tables["seen_filters"] = filters
+                catalog.commit_round(round_idx, tables, m)
                 # re-read from storage: snapshot-isolated resume point
                 frontier = catalog.read(spark, round_idx, "next_frontier")
                 seen_parts.append(catalog.read(spark, round_idx, "seen_delta"))
@@ -422,6 +437,9 @@ def crawl(
                 seen_parts.append(new.select("url"))
                 frontier = next_frontier
 
+            if cfg.bloom_seen:
+                filters = build_filters(new.select("url"), bloom_cfg,
+                                        existing=filters).localCheckpoint(eager=True)
             if len(seen_parts) > 64:  # bound the union width on deep crawls
                 compacted = seen_parts[0]
                 for p in seen_parts[1:]:
