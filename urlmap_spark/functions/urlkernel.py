@@ -166,3 +166,19 @@ def _canonical_outlink_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 # second ArrowEvalPython node and evaluate the UDF TWICE per row — a 2x
 # slowdown of the crawl's hottest stage, observed via explain("formatted").
 canonical_outlink_udf = _canonical_outlink_udf.asNondeterministic()
+
+
+def lenient_valid_expr(url: Column) -> Column:
+    """pkg-level lenient validation (reference: pkg/utils/url.go:10-30):
+    auto-prefix https:// when the scheme is missing, then require a host.
+    NOTE the reference's pkg variant keeps the port in ExtractDomain
+    (pkg/utils/url.go:39) unlike the internal kernel."""
+    fixed = F.when(~F.trim(url).rlike(r"^(?i)https?://"),
+                   F.concat(F.lit("https://"), F.trim(url))).otherwise(F.trim(url))
+    return is_valid_expr(fixed)
+
+
+def lenient_fix_expr(url: Column) -> Column:
+    """The https://-prefixed form used by lenient validation."""
+    t = F.trim(url)
+    return F.when(~t.rlike(r"^(?i)https?://"), F.concat(F.lit("https://"), t)).otherwise(t)
