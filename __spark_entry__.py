@@ -336,6 +336,78 @@ def _q_robots_parse(spark, sf_dir):
 # --- training-data ops -------------------------------------------------------
 
 
+def _q_lenient_valid(spark, sf_dir):
+    from urlmap_spark.functions.urlkernel import lenient_fix_expr, lenient_valid_expr
+
+    part = _t(spark, sf_dir, "part")
+    raw = F.expr("""CASE p_partkey % 3
+      WHEN 0 THEN 'ex' || (p_partkey % 9) || '.test/p'
+      WHEN 1 THEN 'https://ok' || (p_partkey % 9) || '.test'
+      WHEN 2 THEN 'HTTP://up' || (p_partkey % 9) || '.test/x'
+    END""")
+    return (
+        part.select("p_partkey", raw.alias("raw"))
+        .filter(lenient_valid_expr(F.col("raw")))
+        .withColumn("fixed", lenient_fix_expr(F.col("raw")))
+    )
+
+
+def _q_quota_schedule(spark, sf_dir):
+    """Politeness scheduler itself (salted two-phase top-k) — the
+    scheduled set must equal per-host earliest-k, value-checked vs SQL."""
+    _ship_package(spark)
+    from urlmap_spark.operators.politeness import schedule_frontier
+
+    orders = _t(spark, sf_dir, "orders")
+    frontier = orders.select(
+        F.concat(F.lit("https://c"), (F.col("o_custkey") % 50).cast("string"),
+                 F.lit(".test/p"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.lit(1).alias("depth"),
+        F.col("o_orderkey").alias("order"),
+    )
+    sched, _ = schedule_frontier(frontier, default_quota=3)
+    return sched.select("url", "order")
+
+
+def _q_robots_gate(spark, sf_dir):
+    """Longest-match robots gate over constructed rules, value-checked."""
+    _ship_package(spark)
+    from urlmap_spark.operators.robots import robots_gate
+
+    orders = _t(spark, sf_dir, "orders")
+    frontier = orders.select(
+        F.concat(F.lit("https://h"), (F.col("o_custkey") % 10).cast("string"),
+                 F.lit(".test/p"), (F.col("o_orderkey") % 40).cast("string")).alias("url"),
+        F.lit(0).alias("depth"),
+        F.col("o_orderkey").alias("order"),
+    )
+    hosts = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"))
+    rules = hosts.selectExpr(
+        "host",
+        "stack(2, '*', 'Disallow', '/p1', '*', 'Allow', '/p1/') "
+        "AS (user_agent, directive, path)")
+    return robots_gate(frontier, rules).select("url", "order", "robots_allowed")
+
+
+def _q_seen_bloom(spark, sf_dir):
+    """Bloom-prefiltered anti-join — must equal the plain NOT IN oracle
+    (the bloom is an execution strategy, not a semantics change)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.seen import BloomConfig, build_filters, seen_anti_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cand = orders.select(
+        F.concat(F.lit("https://o"), (F.col("o_orderkey") % 5000).cast("string"),
+                 F.lit(".test/")).alias("url"), "o_orderkey")
+    seen = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("https://o"), F.col("c_custkey").cast("string"),
+                 F.lit(".test/")).alias("url"))
+    cfg = BloomConfig(n_buckets=8, m_bits=1 << 16, k=5)
+    filters = build_filters(seen, cfg)
+    return seen_anti_join(cand, seen, filters, cfg).select("o_orderkey", "url")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from urlmap_spark.operators.dedup import exact_dedup
 
@@ -470,6 +542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first-wins-dedup": _q_first_wins_dedup,
         "output-dedup-sort": _q_output_dedup_sort,
         "robots-parse": _q_robots_parse,
+        "lenient-valid-filter": _q_lenient_valid,
+        "quota-schedule": _q_quota_schedule,
+        "robots-gate": _q_robots_gate,
+        "seen-bloom-anti-join": _q_seen_bloom,
         # training-data pipeline operators
         "dedup-exact": _q_dedup_exact,
         "dedup-ngram-jaccard": _q_dedup_ngram_jaccard,
@@ -640,6 +716,45 @@ def oracle_sql() -> dict[str, str]:
         "robots-parse": """
             SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS int) AS k
             FROM events
+        """,
+        "lenient-valid-filter": """
+            SELECT p_partkey, raw,
+                   CASE WHEN NOT regexp_matches(lower(raw), '^https?://')
+                        THEN 'https://' || raw ELSE raw END AS fixed
+            FROM (SELECT p_partkey, CASE p_partkey % 3
+                    WHEN 0 THEN 'ex' || (p_partkey % 9) || '.test/p'
+                    WHEN 1 THEN 'https://ok' || (p_partkey % 9) || '.test'
+                    WHEN 2 THEN 'HTTP://up' || (p_partkey % 9) || '.test/x'
+                  END AS raw FROM part)
+        """,
+        "quota-schedule": """
+            SELECT url, "order" FROM (
+              SELECT 'https://c' || (o_custkey % 50) || '.test/p' || o_orderkey AS url,
+                     o_orderkey AS "order",
+                     row_number() OVER (PARTITION BY (o_custkey % 50)
+                                        ORDER BY o_orderkey) AS rn
+              FROM orders)
+            WHERE rn <= 3
+        """,
+        "robots-gate": """
+            WITH f AS (
+              SELECT 'https://h' || (o_custkey % 10) || '.test/p' || (o_orderkey % 40) AS url,
+                     o_orderkey AS "order",
+                     '/p' || (o_orderkey % 40) AS path
+              FROM orders)
+            SELECT url, "order",
+                   -- rules per host: Disallow /p1, Allow /p1/ (longest wins);
+                   -- /p1 exactly -> disallowed; /p1/* -> allowed; /p1X -> prefix
+                   -- match on /p1 -> disallowed
+                   CASE WHEN starts_with(path, '/p1/') THEN true
+                        WHEN starts_with(path, '/p1') THEN false
+                        ELSE true END AS robots_allowed
+            FROM f
+        """,
+        "seen-bloom-anti-join": """
+            SELECT o_orderkey, 'https://o' || (o_orderkey % 5000) || '.test/' AS url
+            FROM orders
+            WHERE (o_orderkey % 5000) NOT IN (SELECT c_custkey FROM customer)
         """,
         "dedup-exact": """
             SELECT md5(text) AS content_hash,

@@ -44,8 +44,15 @@ def _hash2(url: str) -> tuple[int, int]:
 
 
 def _positions(url: str, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions via double hashing. Arithmetic is pinned to
+    np.uint64 on BOTH the build and probe paths: mixing a raw Python int
+    >= 2**63 with a uint64 array lets numpy promote to float64 and the
+    low bits of the position differ between build and probe — observed
+    as rare bloom FALSE NEGATIVES (i.e. silently re-crawled URLs)."""
     h1, h2 = _hash2(url)
-    return (h1 + np.arange(k, dtype=np.uint64) * np.uint64(h2 % (1 << 63))) % np.uint64(m_bits)
+    step = np.uint64(h2 % (1 << 63))
+    return ((np.uint64(h1 % (1 << 64)) + np.arange(k, dtype=np.uint64) * step)
+            % np.uint64(m_bits)).astype(np.int64)
 
 
 class BloomConfig:
@@ -80,8 +87,12 @@ def build_filters(urls: DataFrame, cfg: BloomConfig,
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
         for u in pdf["url"]:
-            pos = _positions(u, m_bits, k).astype(np.int64)
-            bits[pos // 8] |= (1 << (pos % 8)).astype(np.uint8)
+            pos = _positions(u, m_bits, k)
+            # bitwise_or.AT, not fancy-index |=: when two of the k
+            # positions land in the SAME byte, buffered fancy indexing
+            # applies only one of them — a silently missing bit, i.e. a
+            # bloom false negative (observed on real data)
+            np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
         return pd.DataFrame({"bucket": [key[0]], "filter": [bits.tobytes()]})
 
     fresh = tagged.groupBy("bucket").applyInPandas(build, FILTER_SCHEMA)
@@ -120,14 +131,11 @@ def split_candidates(candidates: DataFrame, filters: DataFrame, cfg: BloomConfig
         for pdf in batches:
             maybe = []
             for u in pdf[url_col]:
-                h1, h2 = _hash2(u)
                 b = local.get(_bucket_of(u, n_buckets))
                 if b is None:
                     maybe.append(False)
                     continue
-                pos = (np.uint64(h1) + np.arange(k, dtype=np.uint64)
-                       * np.uint64(h2 % (1 << 63))) % np.uint64(m_bits)
-                pos = pos.astype(np.int64)
+                pos = _positions(u, m_bits, k)
                 maybe.append(bool(np.all((b[pos // 8] >> (pos % 8)) & 1)))
             out = pdf.copy()
             out["_maybe"] = maybe
