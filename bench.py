@@ -197,10 +197,15 @@ def main() -> None:
                 if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
                     best = r
             results[n] = best
-            spark = get_spark(master=f"local[{n}]", app_name=f"bench_vp_{n}")
-            spark.sparkContext.setLogLevel("ERROR")
-            vres[n] = run_verified_crawl(spark, vcp)
-            spark.stop()
+            vbest = None
+            for _ in range(2):
+                spark = get_spark(master=f"local[{n}]", app_name=f"bench_vp_{n}")
+                spark.sparkContext.setLogLevel("ERROR")
+                r = run_verified_crawl(spark, vcp)
+                spark.stop()
+                if vbest is None or r["urls_per_sec"] > vbest["urls_per_sec"]:
+                    vbest = r
+            vres[n] = vbest
         eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / 4.0
         eff_steady = (results[hi]["steady_urls_per_sec"]
                       / max(results[lo]["steady_urls_per_sec"], 1e-9)) / 4.0
