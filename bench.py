@@ -219,7 +219,9 @@ def main() -> None:
         }
         print(json.dumps(report))
         os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/BASELINE.md", "w") as f:
+        # BASELINE.md is the curated multi-run report; each invocation
+        # drops its raw result next to it
+        with open("BENCH/last_scaling_run.md", "w") as f:
             f.write(
                 "# BENCH — crawl scaling evidence (sandbox N vs 4N)\n\n"
                 f"Corpus: {BENCH_PAGES} pages / {BENCH_HOSTS} Zipf(1.2) hosts, seed={BENCH_SEED}, "
