@@ -29,7 +29,7 @@ def test_parse_robots_ua_groups(spark):
     """UA matching: '*' applies; substring match ('TestBot' in our UA);
     non-matching groups dropped (reference: robots.go:189-205)."""
     raw = _lines_df(spark, "h.test", ROBOTS_TXT)
-    rules, delays = parse_robots(raw, user_agent="TestBot/1.0")
+    rules, delays, sitemaps = parse_robots(raw, user_agent="TestBot/1.0")
     got = {(r["user_agent"], r["directive"], r["path"]) for r in rules.collect()}
     assert got == {
         ("*", "Disallow", "/admin/"),
@@ -39,13 +39,49 @@ def test_parse_robots_ua_groups(spark):
     }
     d = delays.collect()
     assert len(d) == 1 and d[0]["crawl_delay_s"] == 2.0
+    # Sitemap lines are collected regardless of UA group (robots.go:175-177)
+    assert [r["sitemap"] for r in sitemaps.collect()] == ["https://h.test/sitemap.xml"]
 
     # a UA that matches only the wildcard group
-    rules2, delays2 = parse_robots(raw, user_agent="OtherBot/2.0")
+    rules2, delays2, _ = parse_robots(raw, user_agent="OtherBot/2.0")
     got2 = {(r["directive"], r["path"]) for r in rules2.collect()}
     assert got2 == {("Disallow", "/admin/"), ("Disallow", "/private/"),
                     ("Allow", "/admin/public/")}
     assert delays2.count() == 0
+
+
+def test_parse_robots_empty_ua_never_matches(spark):
+    """Rules under an empty 'User-agent:' group are dropped — the
+    reference requires currentUserAgent != '' and matchesUserAgent('')
+    is false (robots.go:162, 189-196)."""
+    txt = "User-agent:\nDisallow: /hidden\nUser-agent: *\nDisallow: /a\n"
+    rules, _, _ = parse_robots(_lines_df(spark, "h.test", txt), user_agent="AnyBot")
+    assert {(r["user_agent"], r["path"]) for r in rules.collect()} == {("*", "/a")}
+
+
+def test_parse_robots_last_crawl_delay_wins(spark):
+    """Each matching Crawl-delay line overwrites robotsData.crawlDelay
+    (robots.go:169-174) — the LAST one wins, and unparseable values are
+    skipped like a failed time.ParseDuration."""
+    txt = "User-agent: *\nCrawl-delay: 9\nCrawl-delay: oops\nCrawl-delay: 3\n"
+    _, delays, _ = parse_robots(_lines_df(spark, "h.test", txt), user_agent="AnyBot")
+    d = delays.collect()
+    assert len(d) == 1 and d[0]["crawl_delay_s"] == 3.0
+
+
+def test_gate_length_tie_first_rule_in_file_order_wins(spark):
+    """checkRules keeps a rule only when STRICTLY longer (robots.go:
+    214-221), so on a length tie the first rule in file order wins:
+    'Disallow: /a' before 'Allow: /a' blocks."""
+    rules = spark.createDataFrame(
+        [("h.test", "*", "Disallow", "/a", 1), ("h.test", "*", "Allow", "/a", 2),
+         ("g.test", "*", "Allow", "/a", 1), ("g.test", "*", "Disallow", "/a", 2)],
+        "host string, user_agent string, directive string, path string, lineno int")
+    frontier = spark.createDataFrame(
+        [("https://h.test/a", 0, 0), ("https://g.test/a", 0, 1)],
+        "url string, depth int, `order` long")
+    out = {r["url"]: r["robots_allowed"] for r in robots_gate(frontier, rules).collect()}
+    assert out == {"https://h.test/a": False, "https://g.test/a": True}
 
 
 def test_gate_longest_match_and_wildcards(spark):

@@ -22,4 +22,4 @@ Layout:
     streaming/   (reserved) continuous-frontier variant
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -19,9 +19,14 @@ import argparse
 import json
 import sys
 
+from . import __version__
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="urlmap-spark", description=__doc__)
+    # reference: cmd/urlmap/main.go:72-80 (version command)
+    p.add_argument("--version", action="version",
+                   version=f"urlmap-spark version {__version__}")
     p.add_argument("seed", nargs="*", help="start URL(s)")
     p.add_argument("--corpus", required=True, help="parquet path of the corpus table")
     p.add_argument("--seeds-file", help="file with one seed URL per line")
@@ -34,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rate-limit", type=int, default=0,
                    help="global per-round fetch cap (0 = unlimited)")
     p.add_argument("--quota", type=int, default=0, help="per-host per-round cap (0 = unlimited)")
+    p.add_argument("--round-budget", type=float, default=30.0,
+                   help="seconds of wall-clock a round models; robots "
+                        "Crawl-delay d becomes floor(budget/d) fetches/round "
+                        "(reference sleeps per fetch, crawler.go:603-606)")
     p.add_argument("--checkpoint", help="checkpoint directory (enables resume)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verify-payload", action="store_true",
@@ -46,7 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, _spark=None) -> int:
+    """_spark: inject an existing SparkSession (tests); it is then not
+    stopped on exit."""
     args = build_parser().parse_args(argv)
     seeds = list(args.seed)
     if args.seeds_file:
@@ -61,21 +72,30 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.crawl import CrawlConfig, crawl
     from .session import get_spark
 
-    spark = get_spark(master=args.master, app_name="urlmap_spark_cli")
+    spark = _spark or get_spark(master=args.master, app_name="urlmap_spark_cli")
     if args.verbose:
         spark.sparkContext.setLogLevel("INFO")
 
     corpus = spark.read.parquet(args.corpus)
     robots_rules = None
+    host_quota = None
+    sitemap_count = 0
     if args.respect_robots and args.robots_lines:
-        robots_rules, _ = parse_robots(spark.read.parquet(args.robots_lines),
-                                       user_agent=args.user_agent)
+        from .operators.politeness import quota_from_delays
+
+        robots_rules, delays, sitemaps = parse_robots(
+            spark.read.parquet(args.robots_lines), user_agent=args.user_agent)
+        # Crawl-delay -> per-host per-round quota (the batch analog of
+        # the reference's per-fetch sleep, crawler.go:603-606)
+        host_quota = quota_from_delays(delays, args.round_budget)
+        sitemap_count = sitemaps.count()
     cfg = CrawlConfig(
         max_depth=args.depth,
         same_domain=not args.no_same_domain,
         same_path_prefix=not args.no_path_prefix,
         user_agent=args.user_agent,
         robots_rules=robots_rules,
+        host_quota=host_quota,
         default_quota=args.quota or None,
         global_cap=args.rate_limit or None,
         checkpoint_dir=args.checkpoint,
@@ -104,9 +124,11 @@ def main(argv: list[str] | None = None) -> int:
         "failed": sum(m.get("failed", 0) for m in run.metrics),
         "skipped": sum(m.get("skipped_depth", 0) + m.get("blocked_robots", 0)
                        for m in run.metrics),
+        **({"sitemaps": sitemap_count} if sitemap_count else {}),
     }
     print(json.dumps(summary), file=sys.stderr)
-    spark.stop()
+    if _spark is None:
+        spark.stop()
     return 0
 
 

@@ -57,27 +57,57 @@ def shingles_expr(text_col: str, n: int = 3):
 def ngram_jaccard_pairs(
     df: DataFrame, threshold: float = 0.5, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets, computed only for
-    pairs sharing >=1 shingle: |A∩B| from a shingle self-join,
-    |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard)."""
+    pairs sharing >=1 shingle. Returns (id_a, id_b, jaccard).
+
+    max_shingle_df — the 100 TB guard: a shingle appearing in f docs
+    contributes f*(f-1)/2 rows to the self-join, so ONE boilerplate
+    shingle ("all rights reserved …") makes its group quadratic. With a
+    cap, shingles with document frequency > max_shingle_df are excluded
+    from CANDIDATE GENERATION (pairs sharing only boilerplate shingles
+    are not near-dup candidates worth the quadratic cost), and the
+    Jaccard of surviving candidates is computed EXACTLY from the full
+    shingle arrays (array_intersect over the pair join) — the cap
+    bounds the join, it never skews a reported score."""
     sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh"))
-    sizes = sh.select("id", F.size("sh").alias("sz"))
     ex = sh.select("id", F.explode("sh").alias("s"))
-    inter = (
-        ex.alias("a").join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    if max_shingle_df is None:
+        # exact path: |A∩B| from the group count, |A∪B| = |A|+|B|-|A∩B|
+        sizes = sh.select("id", F.size("sh").alias("sz"))
+        inter = (
+            ex.alias("a").join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # capped path: candidates from non-hot shingles only, then exact
+    # verification on the pair's full arrays
+    rare = ex.groupBy("s").agg(F.count("*").alias("_df")) \
+        .filter(F.col("_df") <= max_shingle_df).select("s")
+    exr = ex.join(rare, "s")
+    cand = (
+        exr.alias("a").join(exr.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+    return (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", F.round(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # --- MinHash + LSH ------------------------------------------------------------

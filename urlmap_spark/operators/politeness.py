@@ -9,11 +9,12 @@ rate limit R becomes a cap of R * round_budget rows per round. Overflow
 rows are never dropped — they stay in the frontier for the next round
 (delays, never drops: the final URL-seen set is unchanged).
 
-Skew note (north_rule): the per-host top-k is a two-phase window —
-rank within (host, salt) first, then re-rank the per-salt survivors per
-host. Hot Zipf hosts therefore never concentrate in one task. Salting
-kicks in only above ``salt_threshold`` rows per host (cheap hosts take
-the single-phase path).
+Skew note (north_rule): BOTH top-k stages are two-phase windows — the
+per-host quota ranks within (host, salt) first, then re-ranks the
+per-salt survivors per host; the global cap ranks within a hash salt
+first, then exactly over <= cap_salts * cap survivors. No window ever
+sorts the whole frontier in one task, so hot Zipf hosts and large
+frontiers never concentrate.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ def schedule_frontier(
     global_cap: int | None = None,
     order_col: str = "order",
     n_salts: int = 16,
-    salt_threshold: int = 100_000,
+    cap_salts: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (scheduled, deferred).
 
@@ -67,12 +68,25 @@ def schedule_frontier(
     sched = sched.drop("_host")
     deferred = deferred.drop("_host")
     if global_cap is not None:
-        # deterministic top-k by discovery order; the remainder re-queues
-        w = Window.orderBy(order_col)  # only reached when a cap is set;
-        # the cap itself bounds the rows that flow through this window
-        ranked = sched.withColumn("_gr", F.row_number().over(w))
-        deferred = deferred.unionByName(ranked.filter(F.col("_gr") > global_cap).drop("_gr"))
-        sched = ranked.filter(F.col("_gr") <= global_cap).drop("_gr")
+        # Deterministic top-k by discovery order, TWO-PHASE so no window
+        # ever sees the whole frontier in one task:
+        #   phase 1: rank within a hash salt — any row in the true global
+        #     top-cap is also within the top-cap of its own salt, so the
+        #     per-salt top-cap survivors are a superset of the answer;
+        #   phase 2: exact global rank over <= cap_salts * global_cap
+        #     survivors (bounded by the CAP, not the frontier).
+        # Overflow rows re-queue (delays, never drops).
+        g = sched.withColumn("_gs", F.pmod(F.xxhash64("url"), F.lit(cap_salts)))
+        w1 = Window.partitionBy("_gs").orderBy(order_col)
+        g = g.withColumn("_g1", F.row_number().over(w1))
+        surv = g.filter(F.col("_g1") <= global_cap)
+        losers = g.filter(F.col("_g1") > global_cap).drop("_g1", "_gs")
+        w2 = Window.orderBy(order_col)  # bounded: <= cap_salts * global_cap rows
+        surv = surv.withColumn("_g2", F.row_number().over(w2))
+        deferred = deferred.unionByName(
+            surv.filter(F.col("_g2") > global_cap).drop("_g1", "_g2", "_gs")
+        ).unionByName(losers)
+        sched = surv.filter(F.col("_g2") <= global_cap).drop("_g1", "_g2", "_gs")
     return sched, deferred
 
 

@@ -67,6 +67,19 @@ def lsh_bucket(
     return emb.withColumn(out_col, lsh_bucket_expr(F.col(vec_col).cast("array<double>"), planes))
 
 
+def sign_block(emb: DataFrame, dims: list[int],
+               vec_col: str = "embedding", out_col: str = "blk") -> DataFrame:
+    """Axis-aligned LSH block key: bit i = sign(v[dims[i]]). The
+    degenerate-but-deterministic hyperplane family — same recall
+    mechanics as random planes, but reproducible by ANY engine (it is
+    plain column arithmetic), which makes blocked near-dup joins
+    oracle-checkable end to end."""
+    acc = F.lit(0)
+    for d in dims:
+        acc = acc * 2 + (F.col(vec_col).getItem(d) >= 0).cast("int")
+    return emb.withColumn(out_col, acc)
+
+
 def lsh_topk(
     emb: DataFrame, query_vec, k: int = 10, n_planes: int = 8, seed: int = 42,
     multiprobe: int = 1,
@@ -93,8 +106,16 @@ def ivf_centroids(
     vec_col: str = "embedding", sample: int = 2048, iters: int = 2,
 ) -> np.ndarray:
     """Seeded mini-kmeans on a driver-side sample (centroids are tiny;
-    the heavy assign step stays distributed)."""
-    rows = emb.select(F.col(vec_col).cast("array<double>").alias("v")).limit(sample).collect()
+    the heavy assign step stays distributed). The sample is a
+    content-hash top-k — deterministic across partitioning AND unbiased
+    across partitions (a bare limit() would drain the first partitions
+    only, skewing centroids toward whatever the layout put first)."""
+    rows = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("v").cast("string")))
+        .orderBy("_h").limit(sample)   # TakeOrdered: distributed top-k
+        .select("v").collect()
+    )
     x = np.array([r["v"] for r in rows])
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -77,6 +77,9 @@ class CrawlConfig:
     same_path_prefix: bool = True            # (cmd/urlmap/main.go:165-166)
     user_agent: str = "urlmap/1.0"
     robots_rules: DataFrame | None = None    # parsed rules -> robots gate
+    render_modes: DataFrame | None = None    # (host, use_js) detection cache ->
+                                             # unified fetch dispatch (#4/#27);
+                                             # needs a rendered_caption corpus col
     host_quota: DataFrame | None = None      # (host, quota) per-round politeness
     default_quota: int | None = None
     global_cap: int | None = None            # per-round global rate cap
@@ -170,10 +173,16 @@ def crawl(
         # join into the Arrow decode UDF and are dropped before the round
         # checkpoint — pixels never enter `seen`/frontier state or a
         # second shuffle.
+        web_cols = ["url", "caption", "status"]
         if cfg.verify_payload:
-            web = corpus.select("url", "caption", "status", "bytes", "fmt", "phash")
-        else:
-            web = corpus.select("url", "caption", "status")
+            web_cols += ["bytes", "fmt", "phash"]
+        # unified dispatch (#4): JS-enabled hosts read the rendered
+        # content column; hosts without one fall back to static
+        # (reference: unified_client.go:77-119 GetWithFallback)
+        dispatch = cfg.render_modes is not None and "rendered_caption" in corpus.columns
+        if dispatch:
+            web_cols.append("rendered_caption")
+        web = corpus.select(*web_cols)
 
         metrics: list[dict] = []
         results_parts: list[DataFrame] = []
@@ -241,6 +250,7 @@ def crawl(
             # a driver-side comparison; with politeness deferral depths mix and
             # we fall back to a real filter.
             skipped_depth = 0
+            persisted = None  # unpersisted once the fetch checkpoint lands
             if cfg.max_depth >= 0 and not politeness:
                 if round_idx > cfg.max_depth:
                     skipped_depth = n_frontier
@@ -249,6 +259,7 @@ def crawl(
                     process = frontier
             elif cfg.max_depth >= 0:
                 process = frontier.filter(F.col("depth") <= cfg.max_depth).persist()
+                persisted = process
                 n_process = process.count()
                 skipped_depth = n_frontier - n_process
                 if n_process == 0:
@@ -256,6 +267,8 @@ def crawl(
             else:
                 process = frontier
             if process is None:
+                if persisted is not None:
+                    persisted.unpersist()
                 metrics.append({
                     "round": round_idx, "frontier": n_frontier, "processed": 0,
                     "crawled": 0, "failed": 0, "skipped_depth": skipped_depth,
@@ -294,6 +307,10 @@ def crawl(
                 .withColumn("ok", F.coalesce(status_ok_expr(F.col("status")), F.lit(False)))
                 .withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
             )
+            if dispatch:
+                from ..operators.stats import dispatch_content
+
+                fetched = dispatch_content(fetched, cfg.render_modes)
             if cfg.verify_payload:
                 from ..operators.multimodal import payload_ok_udf
 
@@ -307,6 +324,11 @@ def crawl(
                     .otherwise(F.lit(False)),
                 ).drop("bytes", "fmt", "phash")
             fetched = fetched.localCheckpoint(eager=True)
+            if persisted is not None:
+                # every consumer (deferred, gated, fetched) is materialized
+                # by now; without this, cached frontiers accrete in executor
+                # storage for the life of a depth-limited politeness crawl
+                persisted.unpersist()
             tick("fetch_ckpt")
 
             agg = fetched.agg(
@@ -316,6 +338,8 @@ def crawl(
                 F.max("depth").alias("max_depth"),
                 *([F.sum(F.when(F.col("payload_ok"), 1).otherwise(0)).alias("payload_ok")]
                   if cfg.verify_payload else []),
+                *([F.sum(F.when(F.col("render_mode"), 1).otherwise(0)).alias("rendered")]
+                  if dispatch else []),
             ).collect()[0]
             tick("metrics_agg")
 
@@ -412,6 +436,7 @@ def crawl(
                 "order_counter": order_counter,
                 "wall_s": round(time.time() - t0, 3),
                 **({"payload_ok": int(agg["payload_ok"] or 0)} if cfg.verify_payload else {}),
+                **({"rendered": int(agg["rendered"] or 0)} if dispatch else {}),
             }
             total_skipped += skipped_depth + int(blocked_robots)
 
