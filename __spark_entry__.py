@@ -231,20 +231,31 @@ def _q_extract_explode(spark, sf_dir):
     )
 
 
+_ESTATS_HREF_CASE_SQL = """CASE event_id % 6
+  WHEN 0 THEN ''
+  WHEN 1 THEN 'mailto:a@b.test'
+  WHEN 2 THEN 'https://ok.test/x' || (event_id % 13)
+  WHEN 3 THEN '/p' || (event_id % 13)
+  WHEN 4 THEN 'http://'
+END"""
+
+
 def _q_extract_stats_agg(spark, sf_dir):
+    """The REAL extraction_stats operator (explode + inline kept-ness +
+    one hash agg) over constructed pages covering every outcome class;
+    pages with zero hrefs (event_id%6==5) must contribute nothing."""
+    _ship_package(spark)
+    from urlmap_spark.operators.stats import extraction_stats
+
     ev = _t(spark, sf_dir, "events")
-    href = F.expr(_HREF_CASE_SQL)
-    outcome = (
-        F.when(F.col("href").startswith("javascript:") | F.col("href").startswith("mailto:")
-               | F.col("href").startswith("#"), F.lit("filtered_out"))
-        .when(F.col("href").startswith("https://") | F.col("href").startswith("http://"),
-              F.lit("valid_absolute"))
-        .otherwise(F.lit("relative"))
+    href = F.expr(_ESTATS_HREF_CASE_SQL)
+    pages = ev.select(
+        F.concat(F.lit("https://e"), (F.col("event_id") % 7).cast("string"),
+                 F.lit(".test/p"), F.col("event_id").cast("string")).alias("url"),
+        F.when(F.col("event_id") % 6 == 5, F.lit("no links here"))
+        .otherwise(F.concat(F.lit('pre href="'), href, F.lit('" post'))).alias("caption"),
     )
-    return (
-        ev.select(href.alias("href")).select(outcome.alias("outcome"))
-        .groupBy("outcome").agg(F.count("*").alias("n"))
-    )
+    return extraction_stats(pages)
 
 
 def _q_stats_agg(spark, sf_dir):
@@ -261,19 +272,72 @@ def _q_stats_agg(spark, sf_dir):
     )
 
 
+_SPA_CAPTION_SQL = """text || CASE doc_id % 5
+  WHEN 0 THEN ' uses the react framework'
+  WHEN 1 THEN ' shell <div id="root"></div>'
+  WHEN 2 THEN ' loading spinner shown'
+  WHEN 3 THEN ' href="/a" href="/b" href="/c"'
+  ELSE ' plain server page'
+END"""
+
+
 def _q_spa_score_agg(spark, sf_dir):
+    """The REAL host_profile static SPA detector (reference weights,
+    spa_detector.go:55-81) over pages whose captions mix framework /
+    structure / dynamic markers deterministically."""
+    _ship_package(spark)
+    from urlmap_spark.operators.stats import host_profile
+
     docs = _t(spark, sf_dir, "documents")
-    conf = F.round(
-        F.lit(0.4) * F.avg(F.when(F.col("text").contains("scan"), 1.0).otherwise(0.0))
-        + F.lit(0.3) * F.avg(F.when(F.col("n_chars") < 200, 1.0).otherwise(0.0))
-        + F.lit(0.3) * F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)),
-        6,
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".test/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(_SPA_CAPTION_SQL).alias("caption"),
     )
-    return (
-        docs.groupBy("source")
-        .agg(conf.alias("confidence"), F.count("*").alias("n_pages"))
-        .withColumn("is_spa", F.col("confidence") >= 0.5)
+    return host_profile(pages)
+
+
+def _q_spa_dynamic_verify(spark, sf_dir):
+    """The REAL dynamic_verify operator (VerifyWithJS link-growth math,
+    spa_detector.go:229-275); rendered content missing for doc_id%5==0
+    exercises the HTTP-fallback branch."""
+    _ship_package(spark)
+    from urlmap_spark.operators.stats import dynamic_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    ns = (F.col("doc_id") % 4).cast("int")
+    nj = (F.col("doc_id") % 7).cast("int")
+    pages = docs.select(
+        F.concat(F.lit("https://d"), (F.col("doc_id") % 15).cast("string"),
+                 F.lit(".test/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.repeat(F.lit('x href="/l" '), ns).alias("caption"),
+        F.when(F.col("doc_id") % 5 != 0,
+               F.repeat(F.lit('y href="/m" '), nj)).alias("rendered_caption"),
     )
+    return dynamic_verify(pages)
+
+
+def _q_render_dispatch(spark, sf_dir):
+    """The REAL dispatch_content operator (unified_client.go:77-119):
+    JS hosts (h0-h9) read rendered content when present, static hosts
+    and render-failures fall back."""
+    _ship_package(spark)
+    from urlmap_spark.operators.stats import dispatch_content
+
+    orders = _t(spark, sf_dir, "orders")
+    pages = orders.select(
+        F.concat(F.lit("https://h"), (F.col("o_custkey") % 20).cast("string"),
+                 F.lit(".test/p"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.concat(F.lit('static href="/s'), (F.col("o_orderkey") % 5).cast("string"),
+                 F.lit('"')).alias("caption"),
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.lit('rendered href="/r1" href="/r2"')).alias("rendered_caption"),
+    )
+    modes = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        (F.col("id") < 10).alias("use_js"),
+    )
+    return dispatch_content(pages, modes).select("url", "caption", "render_mode")
 
 
 def _q_robots_longest_match(spark, sf_dir):
@@ -325,12 +389,65 @@ def _q_output_dedup_sort(spark, sf_dir):
     return ev.select("event_type").dropDuplicates(["event_type"]).orderBy("event_type")
 
 
-def _q_robots_parse(spark, sf_dir):
+def _robots_line_case_sql(j: str) -> str:
+    """Line kind keyed on j = the line's POSITION within its host file
+    (event_id div 7), so every host's file reads: UA * group with rules
+    and a crawl-delay, a comment, a blank, an OtherBot group with a rule
+    that must be EXCLUDED, a sitemap — repeating."""
+    return f"""CASE ({j}) % 8
+  WHEN 0 THEN 'User-agent: *'
+  WHEN 1 THEN 'Disallow: /a' || (event_id % 13)
+  WHEN 2 THEN 'Allow: /b' || (event_id % 11) || '/'
+  WHEN 3 THEN 'Crawl-delay: ' || (event_id % 5 + 1)
+  WHEN 4 THEN '# comment ' || event_id
+  WHEN 5 THEN ''
+  WHEN 6 THEN 'User-agent: OtherBot'
+  WHEN 7 THEN 'Sitemap: https://s.test/m' || (event_id % 3)
+END"""
+
+
+def _robots_raw_lines(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.select(
-        "event_id",
-        F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("int").alias("k"),
+        F.concat(F.lit("h"), (F.col("event_id") % 7).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.col("event_id").cast("int").alias("lineno"),
+        F.expr(_robots_line_case_sql("event_id div 7")).alias("line"),
     )
+
+
+def _q_robots_parse(spark, sf_dir):
+    """The REAL parse_robots scanner (comment/blank drop, first-colon
+    split, UA-group window, UA match incl. empty-group and non-matching
+    'OtherBot' exclusion) over constructed raw robots.txt lines."""
+    _ship_package(spark)
+    from urlmap_spark.operators.robots import parse_robots
+
+    rules, _, _ = parse_robots(_robots_raw_lines(spark, sf_dir),
+                               user_agent="urlmap/1.0")
+    return rules
+
+
+def _q_robots_delays(spark, sf_dir):
+    """parse_robots' crawl-delay output: LAST matching line per host
+    wins (robots.go:169-174)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.robots import parse_robots
+
+    _, delays, _ = parse_robots(_robots_raw_lines(spark, sf_dir),
+                                user_agent="urlmap/1.0")
+    return delays
+
+
+def _q_robots_sitemaps(spark, sf_dir):
+    """parse_robots' sitemap output — collected regardless of UA group
+    (robots.go:175-177)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.robots import parse_robots
+
+    _, _, sitemaps = parse_robots(_robots_raw_lines(spark, sf_dir),
+                                  user_agent="urlmap/1.0")
+    return sitemaps
 
 
 # --- training-data ops -------------------------------------------------------
@@ -367,6 +484,46 @@ def _q_quota_schedule(spark, sf_dir):
     )
     sched, _ = schedule_frontier(frontier, default_quota=3)
     return sched.select("url", "order")
+
+
+def _q_global_cap_schedule(spark, sf_dir):
+    """Politeness scheduler with BOTH budgets: per-host quota then the
+    two-phase salted global cap — scheduled = earliest-order survivors,
+    value-checked against the straightforward SQL ranking."""
+    _ship_package(spark)
+    from urlmap_spark.operators.politeness import schedule_frontier
+
+    orders = _t(spark, sf_dir, "orders")
+    frontier = orders.select(
+        F.concat(F.lit("https://c"), (F.col("o_custkey") % 50).cast("string"),
+                 F.lit(".test/p"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.lit(1).alias("depth"),
+        F.col("o_orderkey").alias("order"),
+    )
+    sched, _ = schedule_frontier(frontier, default_quota=3, global_cap=100)
+    return sched.select("url", "order")
+
+
+def _q_extract_same_domain(spark, sf_dir):
+    """The REAL extract_same_domain operator (parser.go:211-246): full
+    canonicalization, then keep only outlinks on the page's own host."""
+    _ship_package(spark)
+    from urlmap_spark.operators.extract import extract_same_domain
+
+    part = _t(spark, sf_dir, "part")
+    k = (F.col("p_partkey") % 9).cast("string")
+    pages = part.select(
+        F.concat(F.lit("https://x"), k, F.lit(".test/dir/p"),
+                 F.col("p_partkey").cast("string")).alias("url"),
+        F.concat(
+            F.lit('href="https://x'), k, F.lit(".test/same"),
+            (F.col("p_partkey") % 5).cast("string"), F.lit('" '),
+            F.lit('href="https://other.test/o'),
+            (F.col("p_partkey") % 5).cast("string"), F.lit('" '),
+            F.lit('href="/rel'), (F.col("p_partkey") % 7).cast("string"), F.lit('"'),
+        ).alias("caption"),
+    )
+    return extract_same_domain(pages).select("url", "pos", "outlink")
 
 
 def _q_robots_gate(spark, sf_dir):
@@ -419,6 +576,28 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+
+
+def _q_dedup_ngram_capped(spark, sf_dir):
+    """ngram_jaccard_pairs with the shingle document-frequency cap (the
+    100 TB guard): candidates from rare shingles only, jaccard verified
+    EXACTLY on the full shingle arrays."""
+    from urlmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.2, n=3, max_shingle_df=50)
+
+
+def _q_embed_neardup_blocked(spark, sf_dir):
+    """Blocked near-dup: deterministic axis-sign LSH block restricts the
+    pair join (the scale path); DuckDB reproduces the same blocks."""
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import embedding_neardup_pairs
+    from urlmap_spark.operators.similarity import sign_block
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_neardup_pairs(
+        sign_block(emb, dims=[0, 1, 2]), threshold=0.15, block_col="blk")
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
@@ -536,19 +715,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract-stats-agg": _q_extract_stats_agg,
         "stats-agg": _q_stats_agg,
         "spa-score-agg": _q_spa_score_agg,
+        "spa-dynamic-verify": _q_spa_dynamic_verify,
+        "render-dispatch": _q_render_dispatch,
         "robots-longest-match": _q_robots_longest_match,
         "per-host-quota-topk": _q_per_host_quota_topk,
         "seen-anti-join": _q_seen_anti_join,
         "first-wins-dedup": _q_first_wins_dedup,
         "output-dedup-sort": _q_output_dedup_sort,
         "robots-parse": _q_robots_parse,
+        "robots-delays": _q_robots_delays,
+        "robots-sitemaps": _q_robots_sitemaps,
         "lenient-valid-filter": _q_lenient_valid,
         "quota-schedule": _q_quota_schedule,
+        "global-cap-schedule": _q_global_cap_schedule,
+        "extract-same-domain": _q_extract_same_domain,
         "robots-gate": _q_robots_gate,
         "seen-bloom-anti-join": _q_seen_bloom,
         # training-data pipeline operators
         "dedup-exact": _q_dedup_exact,
         "dedup-ngram-jaccard": _q_dedup_ngram_jaccard,
+        "dedup-ngram-capped": _q_dedup_ngram_capped,
+        "embed-neardup-blocked": _q_embed_neardup_blocked,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
         "embed-cosine-topk": _q_embed_cosine_topk,
@@ -653,14 +840,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE gs <= 5
         """,
-        "extract-stats-agg": f"""
+        "extract-stats-agg": """
             SELECT outcome, CAST(count(*) AS bigint) AS n FROM (
-              SELECT CASE
-                WHEN href LIKE 'javascript:%' OR href LIKE 'mailto:%' OR href LIKE '#%'
-                  THEN 'filtered_out'
-                WHEN href LIKE 'https://%' OR href LIKE 'http://%' THEN 'valid_absolute'
-                ELSE 'relative' END AS outcome
-              FROM (SELECT {_HREF_CASE_SQL} AS href FROM events))
+              SELECT CASE event_id % 6
+                WHEN 0 THEN 'empty_href'
+                WHEN 1 THEN 'filtered_out'
+                WHEN 2 THEN 'valid'
+                WHEN 3 THEN 'relative_resolved'
+                WHEN 4 THEN 'invalid_after_resolution' END AS outcome
+              FROM events WHERE event_id % 6 <> 5)
             GROUP BY outcome
         """,
         "stats-agg": """
@@ -672,16 +860,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(l_linenumber) AS int) AS max_line
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
-        "spa-score-agg": """
-            SELECT source,
-                   round(0.4 * avg(CASE WHEN text LIKE '%scan%' THEN 1.0 ELSE 0.0 END)
-                       + 0.3 * avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END)
-                       + 0.3 * avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS confidence,
-                   CAST(count(*) AS bigint) AS n_pages,
-                   (round(0.4 * avg(CASE WHEN text LIKE '%scan%' THEN 1.0 ELSE 0.0 END)
-                        + 0.3 * avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END)
-                        + 0.3 * avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)) >= 0.5 AS is_spa
-            FROM documents GROUP BY source
+        "spa-score-agg": f"""
+            WITH p AS (
+              SELECT source || '.test' AS host,
+                     lower({_SPA_CAPTION_SQL}) AS cap,
+                     ({_SPA_CAPTION_SQL}) AS caption
+              FROM documents),
+            s AS (
+              SELECT host,
+                CASE WHEN contains(cap,'react') OR contains(cap,'vue')
+                       OR contains(cap,'angular') OR contains(cap,'svelte')
+                       OR contains(cap,'next') OR contains(cap,'nuxt')
+                     THEN 1 ELSE 0 END AS fw,
+                CASE WHEN contains(cap,'loading') OR contains(cap,'spinner')
+                       OR contains(cap,'skeleton') OR contains(cap,'placeholder')
+                     THEN 1 ELSE 0 END AS dyn,
+                CASE WHEN contains(cap,'id="root"') OR contains(cap,'id="app"')
+                     THEN 1 ELSE 0 END AS structure,
+                CASE WHEN len(regexp_extract_all(caption, 'href="([^"]*)"', 1)) < 10
+                     THEN 1 ELSE 0 END AS low_links
+              FROM p),
+            a AS (
+              SELECT host,
+                     round(0.4*avg(fw) + 0.3*avg(structure)
+                         + 0.2*avg(low_links) + 0.1*avg(dyn), 6) AS confidence,
+                     avg(structure) AS st,
+                     CAST(count(*) AS bigint) AS n_pages
+              FROM s GROUP BY host)
+            SELECT host, confidence, n_pages,
+                   (confidence >= 0.5 OR (st > 0 AND confidence >= 0.3)) AS is_spa,
+                   (confidence >= 0.5 OR (st > 0 AND confidence >= 0.3)) AS use_js
+            FROM a
+        """,
+        "spa-dynamic-verify": """
+            SELECT url, host,
+                   CAST(ns AS int) AS n_static, CAST(nj AS int) AS n_js,
+                   CASE WHEN ns = 0 THEN nj > 0
+                        ELSE (nj - ns) / CAST(ns AS double) > 0.5 END AS is_spa,
+                   round(CASE WHEN ns = 0 THEN least(CAST(nj AS double), 1.0)
+                         ELSE least((nj - ns) / CAST(ns AS double), 1.0) END, 6) AS confidence
+            FROM (SELECT 'https://d' || (doc_id % 15) || '.test/p' || doc_id AS url,
+                         'd' || (doc_id % 15) || '.test' AS host,
+                         doc_id % 4 AS ns,
+                         CASE WHEN doc_id % 5 = 0 THEN doc_id % 4
+                              ELSE doc_id % 7 END AS nj
+                  FROM documents)
+        """,
+        "render-dispatch": """
+            SELECT url,
+                   CASE WHEN (o_custkey % 20) < 10 AND (o_orderkey % 3 = 0)
+                        THEN 'rendered href="/r1" href="/r2"'
+                        ELSE 'static href="/s' || (o_orderkey % 5) || '"' END AS caption,
+                   ((o_custkey % 20) < 10 AND (o_orderkey % 3 = 0)) AS render_mode
+            FROM (SELECT 'https://h' || (o_custkey % 20) || '.test/p' || o_orderkey AS url,
+                         o_custkey, o_orderkey
+                  FROM orders)
         """,
         "robots-longest-match": """
             SELECT p_brand, p_name AS longest_name, CAST(length(p_name) AS int) AS name_len
@@ -713,9 +946,72 @@ def oracle_sql() -> dict[str, str]:
         "output-dedup-sort": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
-        "robots-parse": """
-            SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS int) AS k
-            FROM events
+        "robots-parse": f"""
+            WITH raw AS (
+              SELECT 'h' || (event_id % 7) || '.test' AS host,
+                     CAST(event_id AS int) AS lineno,
+                     ({_robots_line_case_sql('event_id // 7')}) AS line
+              FROM events),
+            t AS (
+              SELECT host, lineno, trim(line) AS line FROM raw
+              WHERE trim(line) <> '' AND NOT starts_with(trim(line), '#')
+                AND contains(trim(line), ':')),
+            d AS (
+              SELECT host, lineno,
+                     trim(lower(substr(line, 1, strpos(line, ':') - 1))) AS directive,
+                     trim(substr(line, strpos(line, ':') + 1)) AS value
+              FROM t),
+            g AS (
+              SELECT *, last_value(CASE WHEN directive = 'user-agent' THEN value END
+                                   IGNORE NULLS)
+                        OVER (PARTITION BY host ORDER BY lineno
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+              FROM d)
+            SELECT host, ua AS user_agent,
+                   CASE directive WHEN 'allow' THEN 'Allow' ELSE 'Disallow' END AS directive,
+                   value AS path, lineno
+            FROM g
+            WHERE directive IN ('allow', 'disallow')
+              AND ua IS NOT NULL AND ua <> ''
+              AND (ua = '*' OR contains('urlmap/1.0', lower(ua)))
+        """,
+        "robots-delays": f"""
+            WITH raw AS (
+              SELECT 'h' || (event_id % 7) || '.test' AS host,
+                     CAST(event_id AS int) AS lineno,
+                     ({_robots_line_case_sql('event_id // 7')}) AS line
+              FROM events),
+            t AS (
+              SELECT host, lineno, trim(line) AS line FROM raw
+              WHERE trim(line) <> '' AND NOT starts_with(trim(line), '#')
+                AND contains(trim(line), ':')),
+            d AS (
+              SELECT host, lineno,
+                     trim(lower(substr(line, 1, strpos(line, ':') - 1))) AS directive,
+                     trim(substr(line, strpos(line, ':') + 1)) AS value
+              FROM t),
+            g AS (
+              SELECT *, last_value(CASE WHEN directive = 'user-agent' THEN value END
+                                   IGNORE NULLS)
+                        OVER (PARTITION BY host ORDER BY lineno
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+              FROM d)
+            SELECT host, arg_max(TRY_CAST(value AS double), lineno) AS crawl_delay_s
+            FROM g
+            WHERE directive = 'crawl-delay'
+              AND ua IS NOT NULL AND ua <> ''
+              AND (ua = '*' OR contains('urlmap/1.0', lower(ua)))
+              AND TRY_CAST(value AS double) IS NOT NULL
+            GROUP BY host
+        """,
+        "robots-sitemaps": f"""
+            SELECT host, trim(substr(line, strpos(line, ':') + 1)) AS sitemap, lineno
+            FROM (SELECT 'h' || (event_id % 7) || '.test' AS host,
+                         CAST(event_id AS int) AS lineno,
+                         trim({_robots_line_case_sql('event_id // 7')}) AS line
+                  FROM events)
+            WHERE line <> '' AND NOT starts_with(line, '#') AND contains(line, ':')
+              AND trim(lower(substr(line, 1, strpos(line, ':') - 1))) = 'sitemap'
         """,
         "lenient-valid-filter": """
             SELECT p_partkey, raw,
@@ -735,6 +1031,31 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_orderkey) AS rn
               FROM orders)
             WHERE rn <= 3
+        """,
+        "global-cap-schedule": """
+            WITH f AS (
+              SELECT 'https://c' || (o_custkey % 50) || '.test/p' || o_orderkey AS url,
+                     o_orderkey AS "order", (o_custkey % 50) AS h
+              FROM orders),
+            q AS (
+              SELECT url, "order",
+                     row_number() OVER (PARTITION BY h ORDER BY "order") AS rn
+              FROM f),
+            s AS (SELECT url, "order" FROM q WHERE rn <= 3)
+            SELECT url, "order" FROM (
+              SELECT url, "order", row_number() OVER (ORDER BY "order") AS g FROM s)
+            WHERE g <= 100
+        """,
+        "extract-same-domain": """
+            WITH b AS (
+              SELECT 'https://x' || (p_partkey % 9) || '.test/dir/p' || p_partkey AS url,
+                     (p_partkey % 9) AS k, (p_partkey % 5) AS j, (p_partkey % 7) AS r
+              FROM part)
+            SELECT url, CAST(0 AS int) AS pos,
+                   'https://x' || k || '.test/same' || j AS outlink FROM b
+            UNION ALL
+            SELECT url, CAST(2 AS int) AS pos,
+                   'https://x' || k || '.test/rel' || r AS outlink FROM b
         """,
         "robots-gate": """
             WITH f AS (
@@ -781,6 +1102,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(i AS double) / (sa.sz + sb.sz - i), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
             WHERE round(CAST(i AS double) / (sa.sz + sb.sz - i), 6) >= 0.2
+        """,
+        "dedup-ngram-capped": """
+            WITH toks AS (
+              SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+              FROM documents WHERE doc_id < 200),
+            sh AS (
+              SELECT id, list_distinct(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                       ELSE list_transform(generate_series(1, len(l) - 2),
+                                           i -> array_to_string(l[i:i+2], ' ')) END) AS shs
+              FROM toks),
+            ex AS (SELECT id, unnest(shs) AS s FROM sh),
+            rare AS (
+              SELECT s FROM (SELECT s, count(*) AS c FROM ex GROUP BY s) WHERE c <= 50),
+            exr AS (SELECT ex.id, ex.s FROM ex JOIN rare USING (s)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM exr a JOIN exr b ON a.s = b.s AND a.id < b.id)
+            SELECT id_a, id_b,
+                   round(CAST(len(list_intersect(sa.shs, sb.shs)) AS double)
+                         / len(list_distinct(sa.shs || sb.shs)), 6) AS jaccard
+            FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
+            WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS double)
+                        / len(list_distinct(sa.shs || sb.shs)), 6) >= 0.2
+        """,
+        "embed-neardup-blocked": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS blk
+              FROM embeddings WHERE vec_id < 500)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.blk = b.blk
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.15
         """,
         "embed-cosine-topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

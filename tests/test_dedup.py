@@ -59,6 +59,56 @@ def test_minhash_estimate_tracks_true_jaccard(spark, docs):
             assert abs(e - true[p]) < 0.3, (p, e, true[p])
 
 
+def test_ngram_jaccard_shingle_df_cap_bounds_candidates(spark):
+    """Hot-shingle corpus: every doc shares one boilerplate shingle, so
+    the uncapped self-join is quadratic (n*(n-1)/2 candidate pairs).
+    With max_shingle_df the hot shingle is excluded from candidate
+    generation — the join stays bounded — while true near-dups (sharing
+    RARE shingles) are still found with their EXACT jaccard."""
+    boiler = "all rights reserved by the site"
+    n = 60
+    rows = [(i, f"unique words number {i} " + boiler) for i in range(n)]
+    rows[1] = (1, rows[0][1])  # 1 is an exact dup of 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.0, n=3)
+    assert uncapped.count() == n * (n - 1) // 2  # the quadratic blow-up
+
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.0, n=3, max_shingle_df=10)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    # candidate set bounded: only pairs sharing a rare shingle survive
+    assert len(pairs) < n * (n - 1) // 2 / 10
+    # capped jaccard values are EXACT (verified on full shingle arrays)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in uncapped.collect()}
+    for p, j in pairs.items():
+        assert j == exact[p], p
+
+
+def test_embedding_neardup_sign_block(spark):
+    """sign_block restricts the near-dup join to deterministic axis-sign
+    buckets; high-threshold pairs (near-identical vectors) agree on
+    signs, so recall at 0.95 is unaffected on this corpus."""
+    from urlmap_spark.operators.similarity import sign_block
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(16)
+        v[:3] += np.sign(v[:3]) * 0.2  # keep blocked dims off the boundary
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, (v + 0.01 * rng.standard_normal(16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    blocked = sign_block(emb, dims=[0, 1, 2])
+    got = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(
+        blocked, threshold=0.95, block_col="blk").collect()}
+    want = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(
+        emb, threshold=0.95).collect()}
+    assert got == want
+    assert {(2 * i, 2 * i + 1) for i in range(40)} <= got
+
+
 def test_simhash_pairs(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in D.simhash_pairs(docs, max_hamming=10).collect()}

@@ -63,6 +63,39 @@ def test_formats(spark, tmp_path):
         assert "yaml" in str(e)
 
 
+def test_distributed_envelope_sinks_at_scale(spark, tmp_path):
+    """write_json / write_xml assemble the single-document envelopes
+    WITHOUT a driver collect: 10^6 URLs flow head->body->foot through a
+    range-partitioned sort and one writer task."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    urls = spark.range(n).select(
+        F.format_string("https://h%d.test/p%09d", F.col("id") % 50, F.col("id")).alias("url"))
+
+    O.write_output(urls, str(tmp_path / "x"), "xml")
+    xf = glob.glob(str(tmp_path / "x" / "part-*"))[0]
+    with open(xf) as f:
+        head = [next(f) for _ in range(3)]
+    assert head[0].startswith('<?xml version="1.0"')
+    assert head[1].strip() == "<crawloutput>"
+    assert "<url><loc>https://h0.test/p000000000</loc></url>" in head[2]
+    out = open(xf).read()
+    assert out.rstrip().endswith("</crawloutput>")
+    assert out.count("<loc>") == n
+
+    O.write_output(urls, str(tmp_path / "j"), "json")
+    jf = glob.glob(str(tmp_path / "j" / "part-*"))[0]
+    doc = _json.loads(open(jf).read())
+    assert doc["total"] == n
+    assert len(doc["urls"]) == n
+    assert doc["urls"][0]["url"] == "https://h0.test/p000000000"
+    assert "timestamp" in doc and "T" in doc["timestamp"]
+
+
 def test_xml_escaping(spark):
     df = spark.createDataFrame([("https://h.test/a?x=1&y=<2>",)], "url string")
     xml = O.xml_document(df)

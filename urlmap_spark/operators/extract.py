@@ -74,6 +74,19 @@ def extract_outlinks(pages: DataFrame, base_col: str = "url",
     return canonicalize_links(exploded, base_col, native_fast_path)
 
 
+def extract_same_domain(pages: DataFrame, base_col: str = "url",
+                        caption_col: str = "caption") -> DataFrame:
+    """Per-page same-domain extraction (reference: parser.go:211-246
+    ExtractSameDomainLinks): canonical outlinks whose host equals the
+    PAGE's host — the standalone twin of the crawl's seed-scope filter.
+    The host comparison is applied INSIDE each canonicalization branch
+    (page_host_scope) — filtering the union from above lets Catalyst
+    substitute the whole assembly tree into the condition and blow the
+    64 KB codegen limit."""
+    exploded = explode_hrefs(pages, caption_col)
+    return canonicalize_links(exploded, base_col, page_host_scope=True)
+
+
 def href_category_expr() -> Column:
     """Categorize the ``href`` column for hybrid canonicalization:
     1 = absolute lowercase http(s), 2 = root-relative (no dot segments),
@@ -145,7 +158,8 @@ def scope_condition(host_col: Column, dir_col: Column,
 def canonicalize_links(exploded: DataFrame, base_col: str = "url",
                        native_fast_path: bool = True,
                        seed_scopes: list[tuple[str, str]] | None = None,
-                       scope_prefix: bool = True) -> DataFrame:
+                       scope_prefix: bool = True,
+                       page_host_scope: bool = False) -> DataFrame:
     """exploded(base, ..., pos, href) -> rows with a canonical ``outlink``
     column; hrefs the reference drops simply vanish.
 
@@ -166,6 +180,8 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
             out = out.filter(scope_condition(
                 _light_host(F.col("outlink")), _light_dir_path(F.col("outlink")),
                 seed_scopes, scope_prefix))
+        if page_host_scope:
+            out = out.filter(_light_host(F.col("outlink")) == _light_host(F.col(base_col)))
         return out
     # --- native canonicalization for the common href shapes ---------------
     # The reference's per-href pipeline is pure string surgery for every
@@ -227,15 +243,18 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
         .withColumn("_p", F.when(F.col("_p") == "", F.lit("/")).otherwise(F.col("_p")))
         .withColumn("outlink", F.concat("_sh", "_p", "_q"))
     )
-    if seed_scopes:
+    if seed_scopes or page_host_scope:
         # host from _sh (strip scheme+port), dir from the normalized _p —
         # both one-hop expressions over materialized columns
         n_host = F.lower(F.substring_index(F.substring_index(
             F.col("_sh"), "://", -1), ":", 1))
-        n_dir = F.when(
-            (F.col("_p") != "/") & ~F.col("_p").endswith("/"),
-            F.concat(F.col("_p"), F.lit("/"))).otherwise(F.col("_p"))
-        native = native.filter(scope_condition(n_host, n_dir, seed_scopes, scope_prefix))
+        if seed_scopes:
+            n_dir = F.when(
+                (F.col("_p") != "/") & ~F.col("_p").endswith("/"),
+                F.concat(F.col("_p"), F.lit("/"))).otherwise(F.col("_p"))
+            native = native.filter(scope_condition(n_host, n_dir, seed_scopes, scope_prefix))
+        if page_host_scope:
+            native = native.filter(n_host == _light_host(base))
     native = native.drop("_cat", "_sh", "_bp", "_dir", "_pq", "_nofrag", "_p", "_q")
     slow = (
         tagged.filter(c == 9).drop("_cat")
@@ -246,6 +265,8 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
         slow = slow.filter(scope_condition(
             _light_host(F.col("outlink")), _light_dir_path(F.col("outlink")),
             seed_scopes, scope_prefix))
+    if page_host_scope:
+        slow = slow.filter(_light_host(F.col("outlink")) == _light_host(base))
     return native.unionByName(slow)
 
 

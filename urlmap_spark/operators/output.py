@@ -81,20 +81,86 @@ def format_xml(urls: DataFrame, ts_col=None) -> DataFrame:
 
 
 def xml_document(urls: DataFrame) -> str:
-    """Small-result convenience: full XML document as one string."""
+    """Small-result convenience: full XML document as one string
+    (driver-side; the scale path is write_output(..., 'xml'))."""
     body = "\n".join(r["value"] for r in format_xml(urls).collect())
     return f'<?xml version="1.0" encoding="UTF-8"?>\n<crawloutput>\n{body}\n</crawloutput>'
+
+
+def _enveloped_lines(urls: DataFrame, head: list[str], body: DataFrame,
+                     foot: list[str]) -> DataFrame:
+    """head lines + body rows (sorted by _k) + foot lines, as one
+    ordered single-column frame. orderBy range-partitions; the final
+    coalesce(1) at write time concatenates partitions in index order, so
+    ONE task streams the document to disk — rows never visit the driver."""
+    spark = urls.sparkSession
+    h = spark.createDataFrame([(0, f"{i:08d}", s) for i, s in enumerate(head)],
+                              "_s int, _k string, value string")
+    f_ = spark.createDataFrame([(2, f"{i:08d}", s) for i, s in enumerate(foot)],
+                               "_s int, _k string, value string")
+    return (
+        h.unionByName(body.select(F.lit(1).alias("_s"), F.col("_k"), "value"))
+        .unionByName(f_)
+        .orderBy("_s", "_k")
+        .select("value")
+    )
+
+
+def write_xml(urls: DataFrame, path: str) -> None:
+    """The reference XML envelope (output.go:183-211) written WITHOUT a
+    driver collect: header/footer rows + per-URL body rows, globally
+    ordered, streamed by the single writer task."""
+    body = urls.select(
+        F.col("url").alias("_k"),
+        F.format_string('  <url><loc>%s</loc></url>',
+                        F.regexp_replace(F.regexp_replace("url", "&", "&amp;"), "<", "&lt;"))
+        .alias("value"),
+    )
+    doc = _enveloped_lines(
+        urls, ['<?xml version="1.0" encoding="UTF-8"?>', "<crawloutput>"],
+        body, ["</crawloutput>"])
+    doc.coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_json(urls: DataFrame, path: str, ts_col=None) -> None:
+    """The reference JSON envelope {urls:[...], timestamp, total}
+    (output.go:132-155) as a distributed write: one object row per URL
+    (leading comma except the first), envelope head/foot rows around
+    them. Driver traffic is ONE scalar aggregate (min url + count), not
+    the row set."""
+    ts = ts_col if ts_col is not None else F.current_timestamp()
+    first_url, total = urls.agg(F.min("url"), F.count("*")).first()
+    body = urls.select(
+        F.col("url").alias("_k"),
+        F.concat(
+            F.when(F.col("url") == F.lit(first_url), F.lit("  ")).otherwise(F.lit("  ,")),
+            F.to_json(F.struct(F.col("url"), F.date_format(ts, RFC3339).alias("timestamp"))),
+        ).alias("value"),
+    )
+    import datetime
+
+    now = datetime.datetime.now(datetime.timezone.utc).astimezone()
+    z = now.strftime("%z")
+    stamp = now.strftime("%Y-%m-%dT%H:%M:%S") + f"{z[:3]}:{z[3:]}"  # RFC3339 offset
+    foot = ['], "timestamp": %s, "total": %d}' % (json_quote(stamp), total)]
+    doc = _enveloped_lines(urls, ['{"urls": ['], body, foot)
+    doc.coalesce(1).write.mode("overwrite").text(path)
+
+
+def json_quote(s: str) -> str:
+    import json as _json
+
+    return _json.dumps(s)
 
 
 def write_output(urls: DataFrame, path: str, fmt: str = "text") -> None:
     if fmt == "text":
         format_text(urls).coalesce(1).write.mode("overwrite").text(path)
     elif fmt == "json":
-        format_json(urls).coalesce(1).write.mode("overwrite").text(path)
+        write_json(urls, path)
     elif fmt == "csv":
         format_csv(urls).coalesce(1).write.mode("overwrite").csv(path, header=True)
     elif fmt == "xml":
-        with open(path, "w") as f:
-            f.write(xml_document(urls))
+        write_xml(urls, path)
     else:
         raise ValueError(f"unsupported output format: {fmt}")  # output.go:112-129
