@@ -39,6 +39,23 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert not any(3 in p or 5 in p for p in pairs)
 
 
+def test_shingles_short_docs_do_not_blow_up(spark):
+    """Docs with fewer than n tokens collapse to one whole-text shingle
+    (regression: sequence(0,-1) counted DOWN and slice(toks, 0, n)
+    threw on 1-2-token docs)."""
+    rows = [(0, "one"), (1, "two words"), (2, "three words here"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", D.shingles_expr("text", 3).alias("s")).collect()}
+    assert sh[0] == ["one"]
+    assert sh[1] == ["two words"]
+    assert sh[2] == ["three words here"]
+    assert sh[3] == [""]
+    # and the pair pipeline runs end-to-end on them
+    assert {(r["id_a"], r["id_b"]) for r in
+            D.ngram_jaccard_pairs(docs, threshold=0.9, n=3).collect()} == set()
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
              for r in D.minhash_lsh_pairs(docs, num_hashes=64, bands=16,

@@ -60,5 +60,12 @@ def test_payload_udf_rejects_corrupted_bytes(spark, bytes_corpus):
     df = spark.createDataFrame(bytes_corpus).withColumn(
         "bytes", F.expr("substring(bytes, 1, 100)"))  # truncate payloads
     out = df.select(payload_ok_udf(
-        F.col("bytes"), F.col("fmt"), F.col("phash").cast("string")).alias("ok")).collect()
+        F.col("bytes"), F.col("fmt"), F.col("phash")).alias("ok")).collect()
     assert not any(r["ok"] for r in out)
+
+
+def test_payload_udf_accepts_intact_bytes(spark, bytes_corpus):
+    df = spark.createDataFrame(bytes_corpus)
+    out = df.select(payload_ok_udf(
+        F.col("bytes"), F.col("fmt"), F.col("phash")).alias("ok")).collect()
+    assert all(r["ok"] for r in out)

@@ -36,3 +36,31 @@ def test_incremental_ingest_dedups_across_batches(spark, tmp_path):
     _write_urls(spark, inp, ["https://b.test/z", "https://c.test/w"])
     ing2.run_available_now(inp)
     assert ing2.seen_count() == 4
+
+
+def test_seen_layout_is_bucketed_and_join_prunes(spark, tmp_path):
+    """The persisted seen set is hash-bucketed on disk (partitionBy) and
+    each micro-batch's anti-join reads ONLY the buckets its URLs hash to
+    — at 10^10 seen rows the per-batch scan is proportional to the
+    batch, not the history."""
+    import glob
+
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ing = StreamingSeenIngest(spark, state)
+    _write_urls(spark, inp, [f"https://h{i}.test/p{i}" for i in range(40)])
+    ing.run_available_now(inp)
+
+    # bucketed directory layout
+    parts = glob.glob(os.path.join(state, "seen", "bucket=*"))
+    assert len(parts) > 1
+    # batch urls hash to a strict subset of buckets -> pruned read
+    batch = spark.createDataFrame([("https://h1.test/p1",)], "url string")
+    pruned = ing.pruned_seen_for(batch)
+    assert pruned is not None
+    assert 0 < pruned.count() < ing.seen_count()
+
+    # correctness unchanged: overlap deduped, new urls land in buckets
+    _write_urls(spark, inp, ["https://h1.test/p1", "https://new.test/q"])
+    ing.run_available_now(inp)
+    assert ing.seen_count() == 41

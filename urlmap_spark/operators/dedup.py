@@ -45,13 +45,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_expr(text_col: str, n: int = 3):
-    """Word n-gram shingles as an array column (native: split + transform)."""
+    """Word n-gram shingles as an array column (native: split + transform).
+    Texts with fewer than n tokens collapse to ONE shingle (the whole
+    token list joined) — same as the Python twin; the CASE keeps the
+    sequence() branch from ever seeing a descending range (sequence(0,-1)
+    counts DOWN in Spark, and slice(toks, 0, n) then throws)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    grams = F.transform(F.sequence(F.lit(0), k - 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    short = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(F.size(toks) < n, short).otherwise(grams))
 
 
 def ngram_jaccard_pairs(
@@ -122,42 +126,38 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    toks = [t for t in (text or "").lower().split() if t]
-    if len(toks) < n:
-        shingles = {" ".join(toks)} if toks else {""}
-    else:
-        shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    import zlib
-
-    return np.fromiter((zlib.crc32(s.encode()) for s in shingles), dtype=np.int64)
-
-
 def minhash_signatures(
     df: DataFrame, num_hashes: int = 64, n: int = 3, seed: int = 42,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """(id, sig: array<long>) — numpy-vectorized inside mapInPandas:
-    per batch one (num_hashes x num_shingles) broadcasted min, no
-    per-row Python hashing loops beyond crc32 of shingles."""
+    """(id, sig: array<long>) — shingling AND shingle hashing stay
+    JVM-side (shingles_expr -> per-element xxhash64, whole-stage
+    codegen); Python receives only (id, array<int64>) and performs one
+    (num_hashes x num_shingles) broadcasted min per row. No document
+    text ever crosses the Arrow boundary and no per-row Python hashing
+    remains."""
     a, b = _perm_params(num_hashes, seed)
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("sig", T.ArrayType(T.LongType())),
     ])
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles_expr(text_col, n), lambda s: F.xxhash64(s)).alias("hs"),
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                h = _shingle_hashes(txt, n)
-                # (k, m) permuted hashes -> min over shingles
+            sigs = []
+            for hl in pdf["hs"]:
+                h = np.asarray(hl, dtype=np.int64)
+                # (k, m) permuted hashes -> min over shingles; int64
+                # wrap-around is deterministic and fine for a hash family
                 m = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
                 sigs.append(m.min(axis=1))
-                ids.append(i)
-            yield pd.DataFrame({"id": ids, "sig": sigs})
+            yield pd.DataFrame({"id": pdf["id"].values, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return hashed.mapInPandas(gen, schema)
 
 
 def minhash_lsh_pairs(
@@ -203,35 +203,36 @@ def minhash_lsh_pairs(
 def simhash_column(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """(id, simhash long): sign-sum of token-hash bit vectors, numpy-
-    vectorized per Arrow batch."""
+    """(id, simhash long): sign-sum of token-hash bit vectors. Token
+    split + hashing stay JVM-side (xxhash64 per distinct-preserving
+    token); Python does one (n_tokens x 64) bit unpack + sign-sum per
+    row — no strings cross the Arrow boundary."""
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("simhash", T.LongType()),
     ])
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
-
         bitw = (1 << np.arange(64, dtype=np.uint64))
         for pdf in batches:
             out = []
-            for txt in pdf[text_col]:
-                toks = [t for t in (txt or "").lower().split() if t]
-                if not toks:
+            for hl in pdf["hs"]:
+                if len(hl) == 0:
                     out.append(0)
                     continue
-                hs = np.array([zlib.crc32(t.encode()) * 2654435761 % (1 << 64) for t in toks],
-                              dtype=np.uint64)
+                hs = np.asarray(hl, dtype=np.int64).astype(np.uint64)
                 bits = ((hs[:, None] & bitw[None, :]) != 0).astype(np.int32)
                 v = (bits * 2 - 1).sum(axis=0)
-                sh = np.uint64(0)
-                for j in np.nonzero(v > 0)[0]:
-                    sh |= bitw[j]
+                sh = bitw[v > 0].sum(dtype=np.uint64)
                 out.append(int(sh.astype(np.int64)))
-            yield pd.DataFrame({"id": pdf[id_col].values, "simhash": out})
+            yield pd.DataFrame({"id": pdf["id"].values, "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return hashed.mapInPandas(gen, schema)
 
 
 def simhash_pairs(

@@ -135,32 +135,50 @@ def verify_payload(corpus: DataFrame, seed: int, n_hosts: int, total_pages: int,
     return corpus.select("image_id", "bytes", "fmt", "caption", "phash").mapInPandas(gen, VERIFY_SCHEMA)
 
 
-from pyspark.sql.functions import pandas_udf  # noqa: E402
+import pyarrow as pa  # noqa: E402
+from pyspark.sql.functions import arrow_udf  # noqa: E402
 
 
-@pandas_udf(T.BooleanType())
-def _payload_ok_udf(data: pd.Series, fmt: pd.Series, phash: pd.Series) -> pd.Series:
+@arrow_udf(T.BooleanType())
+def _payload_ok_udf(data: pa.Array, fmt: pa.Array, phash: pa.Array) -> pa.Array:
     """Per-row fetch-payload invariant (input_hint): decode the image
     bytes and compare the recomputed perceptual hash against the stored
-    one — the batch-engine analog of verifying a fetched body. Arrow-
-    batched; decode failures (unsupported codec, truncated bytes) are
-    False, never exceptions (poison-pill isolation).
+    one — the batch-engine analog of verifying a fetched body. Decode
+    failures (unsupported codec, truncated bytes) are False, never
+    exceptions (poison-pill isolation).
 
-    ``phash`` MUST be passed as a STRING column: after the left fetch-
-    join it is nullable, and a nullable int64 crosses Arrow->pandas as
-    float64 — silently losing low bits of the 64-bit hash (observed:
-    every comparison failing by <1024). Strings are exact."""
-    out = []
-    for b, f, ph in zip(data, fmt, phash):
-        if b is None or ph is None:
-            out.append(False)
+    Arrow-NATIVE (not pandas): the binary column is consumed straight
+    from the Arrow data page via the offsets buffer — each row's bytes
+    are a zero-copy memoryview slice into the page, never a per-row
+    PyBytes allocation (an earlier pandas_udf version spent more time
+    materializing an object Series of the payloads than decoding them).
+    Nullable int64 phash is also exact here — the historic Arrow->pandas
+    int64->float64 hash-corruption hazard is a pandas conversion
+    artifact that arrow_udf sidesteps entirely."""
+    n = len(data)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return pa.array(out)
+    if isinstance(data, pa.ChunkedArray):  # defensive; scalar UDFs get Arrays
+        data = data.combine_chunks()
+    null_d = data.is_null().to_numpy(zero_copy_only=False)
+    null_p = phash.is_null().to_numpy(zero_copy_only=False)
+    offw = 8 if pa.types.is_large_binary(data.type) else 4
+    odt = np.int64 if offw == 8 else np.int32
+    bufs = data.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt, count=n + 1, offset=data.offset * offw)
+    mv = memoryview(bufs[2])
+    fmts = fmt.to_pylist()
+    phs = phash.to_pylist()
+    for i in range(n):
+        if null_d[i] or null_p[i]:
             continue
         try:
-            arr = C.decode_image(bytes(b), f)
-            out.append(int(C.phash_of(arr)) == int(ph))
+            arr = C.decode_image(mv[offs[i]:offs[i + 1]], fmts[i])
+            out[i] = C.phash_of(arr) == phs[i]
         except Exception:  # noqa: BLE001 — any decode failure is a False row
-            out.append(False)
-    return pd.Series(out, dtype=bool)
+            pass
+    return pa.array(out)
 
 
 # nondeterministic mark: stops Catalyst substituting the UDF into pushed

@@ -23,7 +23,6 @@ a growing crawl is most of them.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -37,21 +36,33 @@ FILTER_SCHEMA = T.StructType([
     T.StructField("filter", T.BinaryType()),
 ])
 
-
-def _hash2(url: str) -> tuple[int, int]:
-    d = hashlib.blake2b(url.encode(), digest_size=16).digest()
-    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
+_HASH_COLS = ["_h1", "_h2", "_bk"]
 
 
-def _positions(url: str, m_bits: int, k: int) -> np.ndarray:
-    """k bit positions via double hashing. Arithmetic is pinned to
-    np.uint64 on BOTH the build and probe paths: mixing a raw Python int
-    >= 2**63 with a uint64 array lets numpy promote to float64 and the
-    low bits of the position differ between build and probe — observed
-    as rare bloom FALSE NEGATIVES (i.e. silently re-crawled URLs)."""
-    h1, h2 = _hash2(url)
-    step = np.uint64(h2 % (1 << 63))
-    return ((np.uint64(h1 % (1 << 64)) + np.arange(k, dtype=np.uint64) * step)
+def _with_hash_cols(df: DataFrame, cfg: "BloomConfig", url_col: str = "url") -> DataFrame:
+    """All URL hashing stays JVM-side (whole-stage codegen): two
+    independent xxhash64 families for double hashing plus the bucket
+    key. Build and probe derive from the SAME columns, so they cannot
+    disagree — the Python side only ever sees int64 arrays."""
+    return (
+        df.withColumn("_h1", F.xxhash64(F.col(url_col)))
+        .withColumn("_h2", F.xxhash64(F.lit("urlmap-bloom-h2"), F.col(url_col)))
+        .withColumn("_bk", F.pmod(F.xxhash64(F.lit("urlmap-bucket"), F.col(url_col)),
+                                  F.lit(cfg.n_buckets)).cast("int"))
+    )
+
+
+def _positions_vec(h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n,) int64 hash arrays -> (n, k) bit positions, pure numpy.
+    Arithmetic is pinned to np.uint64 on BOTH the build and probe paths:
+    mixing a raw Python int >= 2**63 with a uint64 array lets numpy
+    promote to float64 and the low bits of the position differ between
+    build and probe — observed as rare bloom FALSE NEGATIVES (i.e.
+    silently re-crawled URLs)."""
+    h1u = h1.astype(np.uint64)  # two's-complement reinterpret, both sides
+    step = h2.astype(np.uint64) % np.uint64(1 << 63)
+    j = np.arange(k, dtype=np.uint64)
+    return ((h1u[:, None] + j[None, :] * step[:, None])
             % np.uint64(m_bits)).astype(np.int64)
 
 
@@ -62,40 +73,27 @@ class BloomConfig:
         self.k = k
 
 
-def _bucket_of(url: str, n_buckets: int) -> int:
-    """Bucket assignment — SAME function on build and probe sides (both
-    Python): a mismatch would make the probe consult the wrong filter
-    and declare truly-seen URLs 'definitely new'."""
-    d = hashlib.blake2b(url.encode(), digest_size=8).digest()
-    return int.from_bytes(d, "big") % n_buckets
-
-
 def build_filters(urls: DataFrame, cfg: BloomConfig,
                   existing: DataFrame | None = None) -> DataFrame:
     """urls(url) [+ existing (bucket, filter)] -> merged (bucket, filter).
-    One applyInPandas task per bucket; merge = bitwise OR."""
-    from pyspark.sql.functions import pandas_udf
-
-    m_bits, k, nb = cfg.m_bits, cfg.k, cfg.n_buckets
-
-    @pandas_udf(T.IntegerType())
-    def _bucket_udf(u: pd.Series) -> pd.Series:
-        return u.map(lambda s: _bucket_of(s, nb)).astype("int32")
-
-    tagged = urls.select("url", _bucket_udf(F.col("url")).alias("bucket"))
+    One applyInPandas task per bucket; merge = bitwise OR. The per-URL
+    work is fully vectorized: hashes computed JVM-side, bit positions as
+    one (n, k) numpy broadcast, bits set with a single bitwise_or.at."""
+    m_bits, k = cfg.m_bits, cfg.k
+    tagged = _with_hash_cols(urls, cfg).select("_h1", "_h2", "_bk")
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        for u in pdf["url"]:
-            pos = _positions(u, m_bits, k)
-            # bitwise_or.AT, not fancy-index |=: when two of the k
-            # positions land in the SAME byte, buffered fancy indexing
-            # applies only one of them — a silently missing bit, i.e. a
-            # bloom false negative (observed on real data)
-            np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
-        return pd.DataFrame({"bucket": [key[0]], "filter": [bits.tobytes()]})
+        pos = _positions_vec(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), m_bits, k)
+        # bitwise_or.AT, not fancy-index |=: when two positions land in
+        # the SAME byte, buffered fancy indexing applies only one of
+        # them — a silently missing bit, i.e. a bloom false negative
+        # (observed on real data)
+        np.bitwise_or.at(bits, (pos // 8).ravel(),
+                         (1 << (pos % 8)).astype(np.uint8).ravel())
+        return pd.DataFrame({"bucket": [int(key[0])], "filter": [bits.tobytes()]})
 
-    fresh = tagged.groupBy("bucket").applyInPandas(build, FILTER_SCHEMA)
+    fresh = tagged.groupBy("_bk").applyInPandas(build, FILTER_SCHEMA)
     if existing is None:
         return fresh
     both = fresh.unionByName(existing)
@@ -104,7 +102,7 @@ def build_filters(urls: DataFrame, cfg: BloomConfig,
         acc = np.zeros(m_bits // 8, dtype=np.uint8)
         for b in pdf["filter"]:
             acc |= np.frombuffer(bytes(b), dtype=np.uint8)
-        return pd.DataFrame({"bucket": [key[0]], "filter": [acc.tobytes()]})
+        return pd.DataFrame({"bucket": [int(key[0])], "filter": [acc.tobytes()]})
 
     return both.groupBy("bucket").applyInPandas(merge, FILTER_SCHEMA)
 
@@ -115,35 +113,42 @@ def split_candidates(candidates: DataFrame, filters: DataFrame, cfg: BloomConfig
 
     The filter blobs are collected to the driver (n_buckets x m_bits/8
     bytes — 4 MiB at defaults) and broadcast; the probe is one
-    mapInPandas pass, no shuffle. On a cluster the same blobs ride the
-    torrent broadcast to every executor once per round.
+    mapInPandas pass, no shuffle, vectorized per bucket group inside
+    each Arrow batch. On a cluster the same blobs ride the torrent
+    broadcast to every executor once per round.
     """
     blobs = {r["bucket"]: np.frombuffer(bytes(r["filter"]), dtype=np.uint8)
              for r in filters.collect()}
     sc = candidates.sparkSession.sparkContext
     bblobs = sc.broadcast(blobs)
-    m_bits, k, n_buckets = cfg.m_bits, cfg.k, cfg.n_buckets
+    m_bits, k = cfg.m_bits, cfg.k
 
-    schema = T.StructType(candidates.schema.fields + [T.StructField("_maybe", T.BooleanType())])
+    cand = _with_hash_cols(candidates, cfg, url_col)
+    schema = T.StructType(cand.schema.fields + [T.StructField("_maybe", T.BooleanType())])
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = bblobs.value
         for pdf in batches:
-            maybe = []
-            for u in pdf[url_col]:
-                b = local.get(_bucket_of(u, n_buckets))
-                if b is None:
-                    maybe.append(False)
-                    continue
-                pos = _positions(u, m_bits, k)
-                maybe.append(bool(np.all((b[pos // 8] >> (pos % 8)) & 1)))
+            n = len(pdf)
+            maybe = np.zeros(n, dtype=bool)
+            bks = pdf["_bk"].to_numpy()
+            h1 = pdf["_h1"].to_numpy()
+            h2 = pdf["_h2"].to_numpy()
+            for bk in np.unique(bks):
+                blob = local.get(int(bk))
+                if blob is None:
+                    continue  # no filter -> definitely new
+                m = bks == bk
+                pos = _positions_vec(h1[m], h2[m], m_bits, k)
+                got = (blob[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+                maybe[m] = got.all(axis=1)
             out = pdf.copy()
             out["_maybe"] = maybe
             yield out
 
-    probed = candidates.mapInPandas(probe, schema)
-    return (probed.filter(~F.col("_maybe")).drop("_maybe"),
-            probed.filter(F.col("_maybe")).drop("_maybe"))
+    probed = cand.mapInPandas(probe, schema)
+    return (probed.filter(~F.col("_maybe")).drop("_maybe", *_HASH_COLS),
+            probed.filter(F.col("_maybe")).drop("_maybe", *_HASH_COLS))
 
 
 def seen_anti_join(candidates: DataFrame, seen: DataFrame,

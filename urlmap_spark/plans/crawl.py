@@ -317,10 +317,12 @@ def crawl(
                 fetched = fetched.withColumn(
                     "payload_ok",
                     F.when(F.col("ok"),
-                           # phash as string: nullable int64 -> float64
-                           # through Arrow loses hash bits (see UDF doc)
+                           # int64 phash passes through exactly: arrow_udf
+                           # never converts to pandas (the old nullable-
+                           # int64 -> float64 corruption was a pandas
+                           # artifact; see UDF doc)
                            payload_ok_udf(F.col("bytes"), F.col("fmt"),
-                                          F.col("phash").cast("string")))
+                                          F.col("phash")))
                     .otherwise(F.lit(False)),
                 ).drop("bytes", "fmt", "phash")
             fetched = fetched.localCheckpoint(eager=True)
@@ -423,9 +425,11 @@ def crawl(
                 F.lit(round_idx).alias("round"),
             ).withColumn("n_links", F.lit(None).cast("int")).select(*RESULT_COLUMNS)
 
+            round_wall = time.time() - t0
             m = {
                 "round": round_idx,
                 "frontier": n_frontier,
+                "urls_per_sec": round(int(agg["processed"] or 0) / max(round_wall, 1e-9), 1),
                 "processed": int(agg["processed"] or 0),
                 "crawled": int(agg["crawled"] or 0),
                 "failed": int(agg["failed"] or 0),
@@ -434,7 +438,7 @@ def crawl(
                 "new_discovered": n_new,
                 "max_depth": int(agg["max_depth"] or 0),
                 "order_counter": order_counter,
-                "wall_s": round(time.time() - t0, 3),
+                "wall_s": round(round_wall, 3),
                 **({"payload_ok": int(agg["payload_ok"] or 0)} if cfg.verify_payload else {}),
                 **({"rendered": int(agg["rendered"] or 0)} if dispatch else {}),
             }

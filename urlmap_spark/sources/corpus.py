@@ -151,12 +151,19 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    if not data.startswith(b"P6"):
+def decode_ppm(data) -> np.ndarray:
+    """Accepts bytes OR any buffer (memoryview over an Arrow data page):
+    only the <=64-byte header is ever copied; the pixel block is a
+    zero-copy np.frombuffer view."""
+    head = bytes(data[:64])
+    if not head.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
-    parts = data.split(b"\n", 3)
-    w, h = (int(x) for x in parts[1].split())
-    return np.frombuffer(parts[3], dtype=np.uint8).reshape(h, w, 3)
+    i1 = head.index(b"\n")
+    i2 = head.index(b"\n", i1 + 1)
+    i3 = head.index(b"\n", i2 + 1)
+    w, h = (int(x) for x in head[i1 + 1:i2].split())
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i3 + 1) \
+             .reshape(h, w, 3)
 
 
 def encode_png(arr: np.ndarray) -> bytes:
@@ -181,24 +188,26 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decoder for the no-filter RGB8 PNGs produced by encode_png."""
-    if not data.startswith(b"\x89PNG"):
+def decode_png(data) -> np.ndarray:
+    """Decoder for the no-filter RGB8 PNGs produced by encode_png.
+    Accepts bytes or any buffer; chunk payloads are consumed as views."""
+    if bytes(data[:4]) != b"\x89PNG":
         raise ValueError("not a PNG")
     pos, idat, w, h = 8, b"", 0, 0
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
+        tag = bytes(data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h = struct.unpack(">II", payload[:8])
         elif tag == b"IDAT":
-            idat += payload
+            idat += bytes(payload)
         pos += 12 + ln
     raw = zlib.decompress(idat)
     stride = w * 3 + 1
-    rows = [np.frombuffer(raw[i * stride + 1 : (i + 1) * stride], dtype=np.uint8) for i in range(h)]
-    return np.stack(rows).reshape(h, w, 3)
+    # one frombuffer + slice instead of a per-scanline Python loop
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    return a[:, 1:].reshape(h, w, 3)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -211,17 +220,23 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 
 def phash_of(arr: np.ndarray) -> int:
-    """64-bit average-hash of the pixel array (signed int64 for Spark)."""
-    g = arr.mean(axis=2)
-    gh, gw = g.shape
-    # 8x8 block means without any image lib
+    """64-bit average-hash of the pixel array (signed int64 for Spark).
+
+    Integer-exact and vectorized: bit(i,j) = 8x8-block pixel sum vs the
+    global pixel sum, compared by cross-multiplication (block*n >
+    total*cnt) — no float rounding anywhere, so generator and verifier
+    agree bit-for-bit on any platform. Two np.add.reduceat calls replace
+    the 64 per-block slice means of the naive version (the fetch-verify
+    hot path runs this per image). Corpus dims are multiples of 8, so
+    blocks are equal-sized and this equals the classic average-hash."""
+    s = arr.sum(axis=2, dtype=np.int64)
+    gh, gw = s.shape
     ys = np.linspace(0, gh, 9, dtype=int)
     xs = np.linspace(0, gw, 9, dtype=int)
-    blocks = np.array([[g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean() for j in range(8)] for i in range(8)])
-    bits = (blocks > blocks.mean()).flatten()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    blocks = np.add.reduceat(np.add.reduceat(s, ys[:-1], axis=0), xs[:-1], axis=1)
+    cnt = np.outer(np.diff(ys), np.diff(xs)).astype(np.int64)
+    bits = (blocks * (gh * gw) > int(s.sum()) * cnt).flatten()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

@@ -27,14 +27,21 @@ from pyspark.sql import functions as F
 class StreamingSeenIngest:
     """Continuously fold discovered URLs into a parquet seen-set.
 
-    state_dir/seen/   — accumulated unique urls (url string)
+    state_dir/seen/bucket=N/ — accumulated unique urls, HASH-BUCKETED on
+                        disk (partitionBy): each micro-batch's anti-join
+                        reads only the buckets its own URLs hash to
+                        (partition pruning), so the per-batch scan is
+                        proportional to the batch's bucket fan-out, not
+                        to the full history — the same bucketed layout
+                        the batch crawl's seen deltas use
     state_dir/_ckpt/  — the streaming engine's checkpoint (exactly-once
                         per micro-batch via foreachBatch + append)
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str, n_buckets: int = 64):
         self.spark = spark
         self.state_dir = state_dir
+        self.n_buckets = n_buckets
         self.seen_path = os.path.join(state_dir, "seen")
         os.makedirs(self.seen_path, exist_ok=True)
 
@@ -43,6 +50,21 @@ class StreamingSeenIngest:
             return self.spark.read.parquet(self.seen_path)
         except Exception:  # no committed files yet
             return None
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int"))
+
+    def pruned_seen_for(self, batch: DataFrame) -> DataFrame | None:
+        """The slice of the seen set a batch's anti-join actually needs:
+        seen rows in the batch's buckets only. The isin filter on the
+        partition column prunes bucket directories at scan time."""
+        seen = self._seen()
+        if seen is None:
+            return None
+        bks = [r["bucket"] for r in
+               self._bucketed(batch.select("url")).select("bucket").distinct().collect()]
+        return seen.filter(F.col("bucket").isin(bks))
 
     def _fold_batch(self, batch: DataFrame, batch_id: int) -> None:
         from ..functions.urlkernel import is_valid_udf, normalize_udf
@@ -53,10 +75,11 @@ class StreamingSeenIngest:
             .filter(F.col("_v") & F.col("url").isNotNull())
             .select("url").dropDuplicates(["url"])
         )
-        seen = self._seen()
-        if seen is not None:
-            fresh = fresh.join(seen, "url", "left_anti")
-        fresh.write.mode("append").parquet(self.seen_path)
+        pruned = self.pruned_seen_for(fresh)
+        if pruned is not None:
+            fresh = fresh.join(pruned.select("url"), "url", "left_anti")
+        self._bucketed(fresh).write.mode("append") \
+            .partitionBy("bucket").parquet(self.seen_path)
 
     def run_available_now(self, input_path: str, url_col: str = "url") -> None:
         """Process everything currently in input_path and stop — the
