@@ -99,23 +99,55 @@ def _ceiling_work(args):
     return _t.time() - t0
 
 
-def measure_ceiling(lo: int, hi: int, total: int = 160_000) -> dict:
-    """The SILICON's own N->4N scaling for the decode workload, measured
-    with plain multiprocessing (no Spark) at the same two operating
-    points, in the same run. This VM's all-core turbo drop makes >8 busy
-    cores run at a lower clock: measured 4->16 pure-decode efficiency is
-    ~0.77 and pure-ALU (blake2b) ~0.70, while 2->8 is ~0.96. Engine
-    efficiency is therefore judged against this measured ceiling, not an
+def _memcpy_work(args):
+    """Pure-multiprocessing memory-bandwidth kernel (8 MiB block copies)
+    — the ceiling for SHUFFLE/SERIALIZATION-bound stages, which are
+    memcpy at heart (Arrow page writes, lz4, shuffle spill)."""
+    seed, n = args
+    import time as _t
+
+    import numpy as np
+
+    src = np.random.default_rng(seed).integers(0, 256, size=8 << 20, dtype=np.uint8)
+    dst = np.empty_like(src)
+    t0 = _t.time()
+    for _ in range(n):
+        np.copyto(dst, src)
+        dst[::4096] ^= 1
+    return _t.time() - t0
+
+
+def measure_ceiling(lo: int, hi: int, total: int = 160_000,
+                    memcpy_total: int = 16_000) -> dict:
+    """The SILICON's own N->4N scaling measured with plain
+    multiprocessing (no Spark) at the same two operating points, in the
+    same run, for the TWO resource classes the crawl mixes:
+
+    - compute (decode+phash kernel): ~0.96-1.0 at 2->8 on a quiet host
+      (vs ~0.77 at 4->16 — the all-core turbo drop, which is why the
+      operating points are 2/8);
+    - memory bandwidth (8 MiB memcpy kernel): ~0.58 at 2->8 — DRAM
+      saturates at TWO processes on this box, so any shuffle/serialize
+      stage is bandwidth-capped far below 0.8 regardless of engine. On
+      a real multi-executor cluster this resource scales WITH the nodes
+      (each executor brings its own memory channels); on one box it is
+      the sandbox artifact the engine numbers must be read against.
+
+    Engine efficiency is judged against these measured ceilings, not an
     assumed 1.0."""
     import multiprocessing as mp
 
-    res = {}
+    res, mres = {}, {}
     for p in (lo, hi):
         with mp.Pool(p) as pool:
             ts = pool.map(_ceiling_work, [(j, total // p) for j in range(p)])
             res[p] = max(ts)  # slowest worker = stage wall
+        with mp.Pool(p) as pool:
+            ts = pool.map(_memcpy_work, [(j, memcpy_total // p) for j in range(p)])
+            mres[p] = max(ts)
     return {"lo_s": round(res[lo], 2), "hi_s": round(res[hi], 2),
-            "eff": round(res[lo] / res[hi] / 4, 3)}
+            "eff": round(res[lo] / res[hi] / 4, 3),
+            "memcpy_eff": round(mres[lo] / mres[hi] / 4, 3)}
 
 
 def run_verified_crawl(spark, corpus_parquet: str) -> dict:
@@ -146,12 +178,20 @@ def run_verified_crawl(spark, corpus_parquet: str) -> dict:
     verified = sum(m.get("payload_ok", 0) for m in run.metrics)
     crawled = sum(m.get("crawled", 0) for m in run.metrics)
     corpus.unpersist()
+    # steady = in-round throughput over at-scale rounds (>=10k frontier),
+    # the same metric workload A reports: it excludes one-time setup
+    # (corpus cache load, seed-list canonicalization, final metric fold)
+    # that a 3-round benchmark cannot amortize but a real crawl's
+    # hundreds of rounds do
+    big = [m for m in run.metrics if m.get("frontier", 0) >= 10_000]
+    steady = (sum(m["processed"] for m in big) / sum(m["wall_s"] for m in big)) if big else 0.0
     return {
         "wall_s": round(wall, 2),
         "processed": processed,
         "crawled": crawled,
         "payload_verified": verified,
         "urls_per_sec": round(processed / wall, 1),
+        "steady_urls_per_sec": round(steady, 1),
         "rounds": run.rounds,
     }
 
@@ -277,13 +317,17 @@ def main() -> None:
         eff_steady = (results[hi]["steady_urls_per_sec"]
                       / max(results[lo]["steady_urls_per_sec"], 1e-9)) / 4.0
         eff_vp = (vres[hi]["urls_per_sec"] / vres[lo]["urls_per_sec"]) / 4.0
+        eff_vp_steady = (vres[hi]["steady_urls_per_sec"]
+                         / max(vres[lo]["steady_urls_per_sec"], 1e-9)) / 4.0
         report = {
             f"local{lo}": results[lo], f"local{hi}": results[hi],
             f"vp_local{lo}": vres[lo], f"vp_local{hi}": vres[hi],
             "scaling_efficiency": round(eff, 3),
             "scaling_efficiency_steady": round(eff_steady, 3),
             "scaling_efficiency_verified": round(eff_vp, 3),
+            "scaling_efficiency_verified_steady": round(eff_vp_steady, 3),
             "silicon_ceiling_efficiency": ceiling["eff"],
+            "silicon_memcpy_ceiling_efficiency": ceiling["memcpy_eff"],
             "verified_vs_ceiling": round(eff_vp / ceiling["eff"], 3),
         }
         print(json.dumps(report))
@@ -307,19 +351,24 @@ def main() -> None:
                 f"(steady-state rounds >=10k frontier rows: {eff_steady:.3f}; "
                 f"target >= 0.8 per BASELINE.json north_rule; the reference's own "
                 f"4x-worker efficiency was ~0.43, BASELINE.md).\n\n"
-                f"Silicon ceiling measured in this run (pure multiprocessing "
-                f"decode+phash, no Spark) at {lo}->{hi} cores: "
-                f"**{ceiling['eff']:.3f}** ({ceiling['lo_s']}s -> {ceiling['hi_s']}s).\n\n"
+                f"Silicon ceilings measured in this run (pure multiprocessing, "
+                f"no Spark) at {lo}->{hi} cores: compute (decode+phash) "
+                f"**{ceiling['eff']:.3f}** ({ceiling['lo_s']}s -> {ceiling['hi_s']}s); "
+                f"memory bandwidth (8 MiB memcpy) **{ceiling['memcpy_eff']:.3f}**.\n\n"
                 "## Payload-verified crawl (north_star per-row invariant in the loop)\n\n"
                 f"{VP_PAGES} pages with real image bytes; every fetched page is decoded "
                 "and phash-checked in the fetch stage (bytes never enter any shuffle "
                 "beyond the fetch join).\n\n"
-                "| cores | wall s | URLs processed | verified | URLs/s |\n|---|---|---|---|---|\n"
+                "| cores | wall s | URLs processed | verified | URLs/s | steady URLs/s |\n"
+                "|---|---|---|---|---|---|\n"
                 f"| local[{lo}] | {vres[lo]['wall_s']} | {vres[lo]['processed']} | "
-                f"{vres[lo]['payload_verified']} | {vres[lo]['urls_per_sec']} |\n"
+                f"{vres[lo]['payload_verified']} | {vres[lo]['urls_per_sec']} | "
+                f"{vres[lo]['steady_urls_per_sec']} |\n"
                 f"| local[{hi}] | {vres[hi]['wall_s']} | {vres[hi]['processed']} | "
-                f"{vres[hi]['payload_verified']} | {vres[hi]['urls_per_sec']} |\n\n"
-                f"**Verified-crawl scaling efficiency: {eff_vp:.3f}** "
+                f"{vres[hi]['payload_verified']} | {vres[hi]['urls_per_sec']} | "
+                f"{vres[hi]['steady_urls_per_sec']} |\n\n"
+                f"**Verified-crawl scaling efficiency: {eff_vp:.3f} whole-run / "
+                f"{eff_vp_steady:.3f} steady-state** "
                 f"(= {eff_vp / ceiling['eff']:.3f} of the measured silicon "
                 f"ceiling {ceiling['eff']:.3f}).\n\n"
                 "Operating points 2/8: the widest N->4N pair inside this VM's "

@@ -186,6 +186,7 @@ def crawl(
 
         metrics: list[dict] = []
         results_parts: list[DataFrame] = []
+        fetch_parts: list[DataFrame] = []  # per-round frames for deferred metrics
 
         if resume and catalog is not None and catalog.last_round() is not None:
             last = catalog.last_round()
@@ -333,7 +334,7 @@ def crawl(
                 persisted.unpersist()
             tick("fetch_ckpt")
 
-            agg = fetched.agg(
+            agg_cols = [
                 F.count("*").alias("processed"),
                 F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("crawled"),
                 F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
@@ -342,7 +343,23 @@ def crawl(
                   if cfg.verify_payload else []),
                 *([F.sum(F.when(F.col("render_mode"), 1).otherwise(0)).alias("rendered")]
                   if dispatch else []),
-            ).collect()[0]
+            ]
+            if catalog is not None:
+                # checkpointed runs persist full metrics per round (the
+                # resume contract), so aggregate eagerly
+                agg = fetched.agg(*agg_cols).collect()[0]
+            else:
+                # in-memory runs defer the status aggregation: keep a
+                # reference to the (already materialized) round frame and
+                # fold ALL rounds in ONE job after the loop — one fewer
+                # Spark job per round, which is pure fixed cost at scale
+                agg = None
+                fetch_parts.append(
+                    fetched.select(
+                        "status", "ok", "depth",
+                        *(["payload_ok"] if cfg.verify_payload else []),
+                        *(["render_mode"] if dispatch else []),
+                    ).withColumn("_round", F.lit(round_idx)))
             tick("metrics_agg")
 
             # --- outlink extraction on OK pages only (crawler.go:644).
@@ -415,9 +432,18 @@ def crawl(
             n_new = order_counter - prev_counter
             new_frontier = new_frontier.select("url", "depth", "order")
 
-            next_frontier = (
-                new_frontier.unionByName(deferred) if deferred is not None else new_frontier
-            ).localCheckpoint(eager=True)
+            if deferred is not None:
+                next_frontier = new_frontier.unionByName(deferred).localCheckpoint(eager=True)
+            elif catalog is not None:
+                next_frontier = new_frontier.localCheckpoint(eager=True)
+            else:
+                # pure-BFS in-memory path: new_frontier is one projection
+                # over the checkpointed `new` (rank offsets are driver
+                # literals) with exactly one consumer next round — the
+                # range shuffle was already materialized by the ordering
+                # pass, so an eager checkpoint here is a whole Spark job
+                # of pure fixed cost
+                next_frontier = new_frontier
             tick("frontier_ckpt")
 
             results_r = fetched.select(
@@ -429,19 +455,22 @@ def crawl(
             m = {
                 "round": round_idx,
                 "frontier": n_frontier,
-                "urls_per_sec": round(int(agg["processed"] or 0) / max(round_wall, 1e-9), 1),
-                "processed": int(agg["processed"] or 0),
-                "crawled": int(agg["crawled"] or 0),
-                "failed": int(agg["failed"] or 0),
                 "skipped_depth": skipped_depth,
                 "blocked_robots": int(blocked_robots),
                 "new_discovered": n_new,
-                "max_depth": int(agg["max_depth"] or 0),
                 "order_counter": order_counter,
                 "wall_s": round(round_wall, 3),
-                **({"payload_ok": int(agg["payload_ok"] or 0)} if cfg.verify_payload else {}),
-                **({"rendered": int(agg["rendered"] or 0)} if dispatch else {}),
             }
+            if agg is not None:
+                m.update({
+                    "urls_per_sec": round(int(agg["processed"] or 0) / max(round_wall, 1e-9), 1),
+                    "processed": int(agg["processed"] or 0),
+                    "crawled": int(agg["crawled"] or 0),
+                    "failed": int(agg["failed"] or 0),
+                    "max_depth": int(agg["max_depth"] or 0),
+                    **({"payload_ok": int(agg["payload_ok"] or 0)} if cfg.verify_payload else {}),
+                    **({"rendered": int(agg["rendered"] or 0)} if dispatch else {}),
+                })
             total_skipped += skipped_depth + int(blocked_robots)
 
             if catalog is not None:
@@ -493,6 +522,36 @@ def crawl(
             seen_df = seen_parts[0]
             for p in seen_parts[1:]:
                 seen_df = seen_df.unionByName(p)
+
+        if fetch_parts:
+            # fold ALL deferred per-round status aggregations in one job
+            u = fetch_parts[0]
+            for p in fetch_parts[1:]:
+                u = u.unionByName(p)
+            per_round = {int(r["_round"]): r for r in u.groupBy("_round").agg(
+                F.count("*").alias("processed"),
+                F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("crawled"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
+                F.max("depth").alias("max_depth"),
+                *([F.sum(F.when(F.col("payload_ok"), 1).otherwise(0)).alias("payload_ok")]
+                  if cfg.verify_payload else []),
+                *([F.sum(F.when(F.col("render_mode"), 1).otherwise(0)).alias("rendered")]
+                  if dispatch else []),
+            ).collect()}
+            for m in metrics:
+                r = per_round.get(m["round"])
+                if r is None:
+                    continue
+                m.update({
+                    "processed": int(r["processed"] or 0),
+                    "crawled": int(r["crawled"] or 0),
+                    "failed": int(r["failed"] or 0),
+                    "max_depth": int(r["max_depth"] or 0),
+                    "urls_per_sec": round(int(r["processed"] or 0)
+                                          / max(m["wall_s"], 1e-9), 1),
+                    **({"payload_ok": int(r["payload_ok"] or 0)} if cfg.verify_payload else {}),
+                    **({"rendered": int(r["rendered"] or 0)} if dispatch else {}),
+                })
 
         return CrawlRun(results=results, metrics=metrics, rounds=round_idx, seen=seen_df)
 
