@@ -158,3 +158,33 @@ def test_bytes_column_pruned(spark):
                                          "url string, depth int, `order` long")
         plan = frontier.join(web, "url", "left")._jdf.queryExecution().executedPlan().toString()
         assert "bytes" not in plan
+
+
+def test_empty_fetch_round_metrics_have_zero_counts(spark):
+    """A round whose entire frontier is robots-blocked produces an empty
+    fetched frame; its metrics entry must still carry zeroed
+    processed/crawled/failed/max_depth/urls_per_sec keys (regression:
+    the deferred metrics fold skipped such rounds and consumers
+    KeyError'd on m["processed"])."""
+    from urlmap_spark.operators.robots import parse_robots
+
+    host = "m.test"
+    pdf = pd.DataFrame([
+        {"image_id": "m0", "bytes": None, "w": 32, "h": 32, "fmt": "ppm",
+         "caption": 'href="/sub/a" href="/sub/b"', "phash": 0,
+         "url": f"https://{host}/", "status": 200},
+        {"image_id": "m1", "bytes": None, "w": 32, "h": 32, "fmt": "ppm",
+         "caption": "", "phash": 0, "url": f"https://{host}/sub/a", "status": 200},
+    ], columns=C.CORPUS_COLUMNS)
+    lines = spark.createDataFrame(
+        [(host, 0, "User-agent: *"), (host, 1, "Disallow: /sub")],
+        "host string, lineno int, line string")
+    rules, _, _ = parse_robots(lines)
+    run = crawl(spark, spark.createDataFrame(pdf), f"https://{host}/",
+                CrawlConfig(same_path_prefix=False, robots_rules=rules))
+    blocked = [m for m in run.metrics if m["blocked_robots"] > 0]
+    assert blocked, run.metrics
+    for m in blocked:
+        assert m["processed"] == 0 and m["crawled"] == 0 and m["failed"] == 0
+        assert m["max_depth"] == 0 and m["urls_per_sec"] == 0.0
+    assert all("processed" in m for m in run.metrics)

@@ -154,3 +154,16 @@ def test_embedding_neardup(spark):
              for r in D.embedding_neardup_pairs(emb, threshold=0.9).collect()}
     assert list(pairs) == [(0, 1)]
     assert pairs[(0, 1)] > 0.99
+
+
+def test_null_text_tolerated(spark):
+    """Null text rows must not crash the Arrow loops (regression: the
+    simhash batch did len(None)); they behave as empty text."""
+    rows = [(0, "some real document text here"), (1, None), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["id"]: r["simhash"] for r in D.simhash_column(docs).collect()}
+    assert sh[1] == 0 and sh[2] == 0 and sh[0] != 0
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(docs, num_hashes=8).collect()}
+    assert len(sigs) == 3 and all(len(s) == 8 for s in sigs.values())
+    # null and '' collapse to the same ''-shingle signature
+    assert sigs[1] == sigs[2]

@@ -100,3 +100,19 @@ def test_xml_escaping(spark):
     df = spark.createDataFrame([("https://h.test/a?x=1&y=<2>",)], "url string")
     xml = O.xml_document(df)
     assert "&amp;" in xml and "&lt;" in xml
+
+
+def test_write_json_duplicate_min_url(spark, tmp_path):
+    """Duplicate minimum URL rows must still yield ONE comma-less body row
+    (regression: every min-url occurrence suppressed its comma and the
+    document went invalid). write_json dedups like the reference's
+    removeDuplicates (output.go)."""
+    rows = [("https://h.test/a",), ("https://h.test/a",), ("https://h.test/b",)]
+    urls = spark.createDataFrame(rows, "url string")
+    out = str(tmp_path / "dup.json")
+    O.write_json(urls, out)
+    import glob
+    text = open(glob.glob(out + "/part-*")[0]).read()
+    doc = json.loads(text)
+    assert [u["url"] for u in doc["urls"]] == ["https://h.test/a", "https://h.test/b"]
+    assert doc["total"] == 2

@@ -64,3 +64,33 @@ def test_seen_layout_is_bucketed_and_join_prunes(spark, tmp_path):
     _write_urls(spark, inp, ["https://h1.test/p1", "https://new.test/q"])
     ing.run_available_now(inp)
     assert ing.seen_count() == 41
+
+
+def test_legacy_flat_seen_layout_migrates(spark, tmp_path):
+    """A state_dir whose seen/ was written by the old FLAT layout (row
+    files without a bucket partition) is migrated into buckets on init,
+    so resume keeps exactly-once dedup instead of breaking partition
+    discovery."""
+    import glob
+
+    state = str(tmp_path / "state")
+    seen = os.path.join(state, "seen")
+    # simulate the old layout: plain parquet files directly in seen/
+    spark.createDataFrame(
+        [("https://old.test/a",), ("https://old.test/b",)], "url string"
+    ).coalesce(1).write.mode("overwrite").parquet(seen)
+    for f in glob.glob(os.path.join(seen, "_SUCCESS")):
+        os.remove(f)
+    assert glob.glob(os.path.join(seen, "part-*"))
+
+    ing = StreamingSeenIngest(spark, state)
+    # flat files gone, bucketed layout in place, rows preserved
+    assert not glob.glob(os.path.join(seen, "part-*"))
+    assert glob.glob(os.path.join(seen, "bucket=*"))
+    assert ing.seen_count() == 2
+
+    # ingest dedups against the migrated rows
+    inp = str(tmp_path / "in")
+    _write_urls(spark, inp, ["https://old.test/a", "https://new.test/c"])
+    ing.run_available_now(inp)
+    assert ing.seen_count() == 3

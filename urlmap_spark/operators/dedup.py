@@ -145,21 +145,44 @@ def minhash_signatures(
         T.StructField("id", T.LongType()),
         T.StructField("sig", T.ArrayType(T.LongType())),
     ])
-    hashed = df.select(
+    # null text -> '' (one empty shingle) instead of a null shingle array:
+    # keeps the Python side total on corpora with missing documents
+    hashed = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))).select(
         F.col(id_col).alias("id"),
         F.transform(shingles_expr(text_col, n), lambda s: F.xxhash64(s)).alias("hs"),
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = len(a)
         for pdf in batches:
-            sigs = []
-            for hl in pdf["hs"]:
-                h = np.asarray(hl, dtype=np.int64)
-                # (k, m) permuted hashes -> min over shingles; int64
-                # wrap-around is deterministic and fine for a hash family
-                m = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-                sigs.append(m.min(axis=1))
-            yield pd.DataFrame({"id": pdf["id"].values, "sig": sigs})
+            nrows = len(pdf)
+            col = pdf["hs"]
+            lens = np.fromiter((0 if hl is None else len(hl) for hl in col),
+                               dtype=np.int64, count=nrows)
+            mx = int(lens.max()) if nrows else 0
+            if mx == 0:
+                yield pd.DataFrame({
+                    "id": pdf["id"].values,
+                    "sig": [np.full(k, _MERSENNE, dtype=np.int64)] * nrows})
+                continue
+            # ONE padded (rows x maxlen) matrix per batch; the k permuted-
+            # min reductions are then whole-batch numpy ops (the per-row
+            # matmul loop was the dominant cost of dedup-minhash-lsh).
+            # int64 wrap-around is deterministic and fine for a hash family;
+            # padding cells are masked to the (unreachable) modulus so they
+            # never win a min — per-row outputs are byte-identical to the
+            # old per-row loop (pinned by the pair-parity tests).
+            H = np.zeros((nrows, mx), dtype=np.int64)
+            for i, hl in enumerate(col):
+                if hl is not None and len(hl):
+                    H[i, : len(hl)] = hl
+            pad = np.arange(mx, dtype=np.int64)[None, :] >= lens[:, None]
+            sig = np.empty((nrows, k), dtype=np.int64)
+            for j in range(k):
+                mj = (a[j] * H + b[j]) % _MERSENNE
+                mj[pad] = _MERSENNE
+                sig[:, j] = mj.min(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].values, "sig": list(sig)})
 
     return hashed.mapInPandas(gen, schema)
 
@@ -215,26 +238,45 @@ def simhash_column(
         T.StructField("id", T.LongType()),
         T.StructField("simhash", T.LongType()),
     ])
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # null text -> '' JVM-side (empty token array, simhash 0) — the old
+    # Python path crashed on None with len(None); coalescing restores the
+    # treat-missing-as-empty semantics and keeps the loop total
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "")
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitw = (1 << np.arange(64, dtype=np.uint64))
         for pdf in batches:
-            out = []
-            for hl in pdf["hs"]:
-                if len(hl) == 0:
-                    out.append(0)
-                    continue
-                hs = np.asarray(hl, dtype=np.int64).astype(np.uint64)
-                bits = ((hs[:, None] & bitw[None, :]) != 0).astype(np.int32)
-                v = (bits * 2 - 1).sum(axis=0)
-                sh = bitw[v > 0].sum(dtype=np.uint64)
-                out.append(int(sh.astype(np.int64)))
-            yield pd.DataFrame({"id": pdf["id"].values, "simhash": out})
+            nrows = len(pdf)
+            col = pdf["hs"]
+            lens = np.fromiter((0 if hl is None else len(hl) for hl in col),
+                               dtype=np.int64, count=nrows)
+            mx = int(lens.max()) if nrows else 0
+            if mx == 0:
+                yield pd.DataFrame({"id": pdf["id"].values,
+                                    "simhash": np.zeros(nrows, dtype=np.int64)})
+                continue
+            # ONE padded (rows x maxlen) uint64 matrix per batch; the 64
+            # per-bit sign-sums are whole-batch numpy reductions. Padding
+            # zeros contribute 0 to every bit count and the sign-sum uses
+            # the TRUE length (v = 2*cnt - len), so padded cells are inert
+            # — outputs byte-identical to the old per-row loop.
+            H = np.zeros((nrows, mx), dtype=np.uint64)
+            for i, hl in enumerate(col):
+                if hl is not None and len(hl):
+                    H[i, : len(hl)] = np.asarray(hl, dtype=np.int64).astype(np.uint64)
+            out = np.zeros(nrows, dtype=np.uint64)
+            one = np.uint64(1)
+            for bit in range(64):
+                cnt = ((H >> np.uint64(bit)) & one).sum(axis=1).astype(np.int64)
+                v = 2 * cnt - lens
+                out |= (v > 0).astype(np.uint64) << np.uint64(bit)
+            yield pd.DataFrame({"id": pdf["id"].values,
+                                "simhash": out.astype(np.int64)})
 
     return hashed.mapInPandas(gen, schema)
 

@@ -129,6 +129,10 @@ def write_json(urls: DataFrame, path: str, ts_col=None) -> None:
     them. Driver traffic is ONE scalar aggregate (min url + count), not
     the row set."""
     ts = ts_col if ts_col is not None else F.current_timestamp()
+    # dedup first (reference: output.go removeDuplicates runs before every
+    # writer) — without it, a repeated min-URL row would emit multiple
+    # comma-less body lines and the document would not parse
+    urls = urls.dropDuplicates(["url"])
     first_url, total = urls.agg(F.min("url"), F.count("*")).first()
     body = urls.select(
         F.col("url").alias("_k"),

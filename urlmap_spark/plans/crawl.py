@@ -538,9 +538,18 @@ def crawl(
                 *([F.sum(F.when(F.col("render_mode"), 1).otherwise(0)).alias("rendered")]
                   if dispatch else []),
             ).collect()}
+            zero = {"processed": 0, "crawled": 0, "failed": 0, "max_depth": 0,
+                    "urls_per_sec": 0.0,
+                    **({"payload_ok": 0} if cfg.verify_payload else {}),
+                    **({"rendered": 0} if dispatch else {})}
             for m in metrics:
                 r = per_round.get(m["round"])
                 if r is None:
+                    # a round whose fetched frame was empty (e.g. robots
+                    # blocked the whole frontier) has no groupBy row — emit
+                    # zeros like the old eager agg did, so consumers indexing
+                    # m["processed"] never KeyError
+                    m.update(zero)
                     continue
                 m.update({
                     "processed": int(r["processed"] or 0),

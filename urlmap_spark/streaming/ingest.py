@@ -44,6 +44,30 @@ class StreamingSeenIngest:
         self.n_buckets = n_buckets
         self.seen_path = os.path.join(state_dir, "seen")
         os.makedirs(self.seen_path, exist_ok=True)
+        self._migrate_legacy_layout()
+
+    def _migrate_legacy_layout(self) -> None:
+        """Earlier versions wrote seen/ as FLAT parquet files (no bucket
+        partition column). Resuming such a state_dir with the bucketed
+        layout would break partition discovery (mixed flat files +
+        bucket=N/ dirs), so on init any flat row files are rewritten once
+        into the bucketed layout and removed."""
+        legacy = [
+            os.path.join(self.seen_path, f)
+            for f in os.listdir(self.seen_path)
+            if os.path.isfile(os.path.join(self.seen_path, f))
+            and not f.startswith((".", "_"))
+        ]
+        if not legacy:
+            return
+        old = self.spark.read.parquet(*legacy).select("url").dropDuplicates(["url"])
+        # localCheckpoint: fully materialize BEFORE touching the files the
+        # plan reads from (the append below must not scan its own output)
+        old = old.localCheckpoint(eager=True)
+        self._bucketed(old).write.mode("append") \
+            .partitionBy("bucket").parquet(self.seen_path)
+        for p in legacy:
+            os.remove(p)
 
     def _seen(self) -> DataFrame | None:
         try:
