@@ -57,3 +57,77 @@ def test_crawl_delay_becomes_quota(spark, tmp_path, capsys):
 
     txt = open(glob.glob(out_p + "/part-*")[0]).read().splitlines()
     assert txt == sorted(["https://h.test/"] + [f"https://h.test/p{i}" for i in range(6)])
+
+
+SPA_MARK = '<div id="root"></div> react loading'
+
+
+def _spa_corpus(spark):
+    rows = [
+        ("https://spa.test/", SPA_MARK, SPA_MARK + ' href="/a" href="/b"', 200),
+        ("https://spa.test/a", SPA_MARK, SPA_MARK + ' href="/b"', 200),
+        ("https://spa.test/b", SPA_MARK, None, 200),
+        ("https://static.test/", 'plain page href="/x"', None, 200),
+        ("https://static.test/x", 'plain page href="/"', None, 200),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, caption string, rendered_caption string, status int")
+
+
+def test_cli_js_auto_strict_renders_spa_host(spark, tmp_path, capsys):
+    """--js-auto-strict: detection (static + dynamic verify) builds the
+    render-mode cache from the corpus and the crawl consumes the
+    JS-rendered content — outlinks that only exist after rendering
+    appear in the output (reference: cli_test.go JS flag suite)."""
+    corpus_p = str(tmp_path / "spa_corpus.parquet")
+    out_p = str(tmp_path / "out")
+    _spa_corpus(spark).write.parquet(corpus_p)
+
+    rc = cli.main([
+        "https://spa.test/", "--corpus", corpus_p,
+        "--js-auto-strict", "--no-path-prefix", "--output", out_p,
+    ], _spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert summary["rendered"] == 2           # /, /a rendered; /b fell back
+    assert summary["crawled"] == 3
+
+    import glob
+    txt = open(glob.glob(out_p + "/part-*")[0]).read().splitlines()
+    assert txt == ["https://spa.test/", "https://spa.test/a", "https://spa.test/b"]
+
+
+def test_cli_js_hosts_manual_override(spark, tmp_path, capsys):
+    """--js-hosts forces render mode for the listed hosts without any
+    detection pass."""
+    corpus_p = str(tmp_path / "spa_corpus2.parquet")
+    out_p = str(tmp_path / "out2")
+    _spa_corpus(spark).write.parquet(corpus_p)
+
+    rc = cli.main([
+        "https://spa.test/", "--corpus", corpus_p,
+        "--js-hosts", "spa.test", "--no-path-prefix", "--output", out_p,
+    ], _spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert summary["rendered"] == 2
+
+    import glob
+    txt = open(glob.glob(out_p + "/part-*")[0]).read().splitlines()
+    assert len(txt) == 3
+
+
+def test_cli_stdout_json_streams_valid_document(spark, tmp_path, capsys):
+    """stdout JSON goes through toLocalIterator over the enveloped frame
+    (no driver-side whole-document string) and still parses."""
+    corpus_p = str(tmp_path / "c.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p,
+        "--no-path-prefix", "--output-format", "json",
+    ], _spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    doc = json.loads(out)
+    assert doc["total"] == 7
+    assert len(doc["urls"]) == 7

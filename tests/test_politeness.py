@@ -75,3 +75,19 @@ def test_salting_bounds_hot_host_partitions(spark):
     # earliest 50 by order win despite salting (two-phase re-rank is exact)
     assert sorted(r["order"] for r in hot) == list(range(50))
     assert len([r for r in s if "cold" in r["url"]]) == 5
+
+
+def test_global_cap_has_no_partitionless_window(spark):
+    """Phase 2 of the global cap uses the count-offset rank, not a
+    Window.orderBy() without partitionBy — a cap of 10^7 must never put
+    cap_salts*cap rows into one task. Every window in the plan carries a
+    partition spec."""
+    rows = [(f"https://h{i % 5}.test/p{i}", 1, i) for i in range(500)]
+    sched, deferred = schedule_frontier(_frontier(spark, rows), global_cap=100)
+    assert sorted(r["order"] for r in sched.collect()) == list(range(100))
+    assert deferred.count() == 400
+    for df in (sched, deferred):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # a partitionless window compiles to an Exchange SinglePartition
+        # feeding the Window — the plan must have none anywhere
+        assert "SinglePartition" not in plan, plan

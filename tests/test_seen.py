@@ -78,3 +78,21 @@ def test_bloom_crawl_equals_plain_crawl(spark):
     a = [(r["url"], r["order"]) for r in plain.results.orderBy("order").collect()]
     b = [(r["url"], r["order"]) for r in bloom.results.orderBy("order").collect()]
     assert a == b
+
+
+def test_probe_is_distributed_no_driver_collect(spark):
+    """The probe must be a cogroup on the bucket key — filter blobs never
+    transit the driver (at 10^10 URLs the aggregate filter is ~12 GB).
+    256 buckets: construction stays lazy and the plan shows the cogroup."""
+    cfg = BloomConfig(n_buckets=256, m_bits=1 << 12, k=5)
+    seen_urls = [f"https://h{i % 11}.test/p{i}" for i in range(400)]
+    cands = [f"https://h{i % 13}.test/p{i}" for i in range(200, 700)]
+    seen = _urls(spark, seen_urls)
+    filters = build_filters(seen, cfg)
+    dn, maybe = split_candidates(_urls(spark, cands), filters, cfg)
+    plan = dn._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    # equivalence with the exact anti-join at this bucket count
+    plain = {r["url"] for r in _urls(spark, cands).join(seen, "url", "left_anti").collect()}
+    bloom = {r["url"] for r in seen_anti_join(_urls(spark, cands), seen, filters, cfg).collect()}
+    assert bloom == plain

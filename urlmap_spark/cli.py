@@ -43,6 +43,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seconds of wall-clock a round models; robots "
                         "Crawl-delay d becomes floor(budget/d) fetches/round "
                         "(reference sleeps per fetch, crawler.go:603-606)")
+    # JS rendering (reference: cmd/urlmap/main.go:93-106; batch semantics:
+    # the corpus carries a rendered_caption column = what a browser pool
+    # would have produced; these flags decide WHICH hosts consume it)
+    p.add_argument("--js-render", action="store_true",
+                   help="render every host with JS (reference --js-render)")
+    p.add_argument("--js-auto", action="store_true",
+                   help="automatic SPA detection, static scoring only "
+                        "(reference --js-auto)")
+    p.add_argument("--js-auto-strict", action="store_true",
+                   help="automatic detection + dynamic verification against "
+                        "the rendered content (reference --js-auto-strict)")
+    p.add_argument("--js-hosts",
+                   help="comma-separated hosts to force-render (overrides "
+                        "auto detection for those hosts)")
+    p.add_argument("--js-threshold", type=float, default=0.5,
+                   help="SPA detection threshold 0.0-1.0 (reference --js-threshold)")
     p.add_argument("--checkpoint", help="checkpoint directory (enables resume)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verify-payload", action="store_true",
@@ -67,7 +83,7 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         print("error: at least one seed URL is required", file=sys.stderr)
         return 2
 
-    from .operators.output import unique_sorted_urls, write_output, xml_document
+    from .operators.output import unique_sorted_urls, write_output
     from .operators.robots import parse_robots
     from .plans.crawl import CrawlConfig, crawl
     from .session import get_spark
@@ -89,12 +105,45 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         # the reference's per-fetch sleep, crawler.go:603-606)
         host_quota = quota_from_delays(delays, args.round_budget)
         sitemap_count = sitemaps.count()
+
+    render_modes_df = None
+    js_on = args.js_render or args.js_auto or args.js_auto_strict or args.js_hosts
+    if js_on:
+        from pyspark.sql import functions as F
+
+        if "rendered_caption" not in corpus.columns:
+            # no rendered content in the corpus: every render falls back
+            # to HTTP (reference GetWithFallback) — a no-op dispatch
+            print("warning: corpus has no rendered_caption column; "
+                  "JS rendering falls back to static content", file=sys.stderr)
+        from .operators.stats import render_modes as _render_modes
+
+        hosts = corpus.select(
+            F.expr("try_parse_url(url, 'HOST')").alias("host")).distinct()
+        if args.js_render:
+            modes = hosts.select("host", F.lit(True).alias("use_js"))
+        elif args.js_auto or args.js_auto_strict:
+            modes = _render_modes(
+                corpus,
+                rendered_col="rendered_caption" if args.js_auto_strict else None,
+                threshold=args.js_threshold)
+        else:
+            modes = hosts.select("host", F.lit(False).alias("use_js"))
+        if args.js_hosts:
+            manual = spark.createDataFrame(
+                [(h.strip(), True) for h in args.js_hosts.split(",") if h.strip()],
+                "host string, use_js boolean")
+            modes = modes.join(manual.select("host"), "host", "left_anti") \
+                         .unionByName(manual)
+        render_modes_df = modes
+
     cfg = CrawlConfig(
         max_depth=args.depth,
         same_domain=not args.no_same_domain,
         same_path_prefix=not args.no_path_prefix,
         user_agent=args.user_agent,
         robots_rules=robots_rules,
+        render_modes=render_modes_df,
         host_quota=host_quota,
         default_quota=args.quota or None,
         global_cap=args.rate_limit or None,
@@ -108,11 +157,17 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     if args.output:
         write_output(urls, args.output, args.output_format)
     elif args.output_format == "xml":
-        print(xml_document(urls))
-    elif args.output_format == "json":
-        from .operators.output import format_json
+        # stdout is inherently driver-side, but STREAM the enveloped frame
+        # (toLocalIterator) so the driver never holds the whole document
+        from .operators.output import xml_lines
 
-        print(format_json(urls).collect()[0]["value"])
+        for r in xml_lines(urls).toLocalIterator():
+            print(r["value"])
+    elif args.output_format == "json":
+        from .operators.output import json_lines
+
+        for r in json_lines(urls).toLocalIterator():
+            print(r["value"])
     else:
         for r in urls.toLocalIterator():
             print(r["url"])
@@ -124,6 +179,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         "failed": sum(m.get("failed", 0) for m in run.metrics),
         "skipped": sum(m.get("skipped_depth", 0) + m.get("blocked_robots", 0)
                        for m in run.metrics),
+        **({"rendered": sum(m.get("rendered", 0) for m in run.metrics)}
+           if render_modes_df is not None else {}),
         **({"sitemaps": sitemap_count} if sitemap_count else {}),
     }
     print(json.dumps(summary), file=sys.stderr)

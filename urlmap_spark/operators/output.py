@@ -106,25 +106,29 @@ def _enveloped_lines(urls: DataFrame, head: list[str], body: DataFrame,
     )
 
 
-def write_xml(urls: DataFrame, path: str) -> None:
-    """The reference XML envelope (output.go:183-211) written WITHOUT a
-    driver collect: header/footer rows + per-URL body rows, globally
-    ordered, streamed by the single writer task."""
+def xml_lines(urls: DataFrame) -> DataFrame:
+    """The reference XML envelope (output.go:183-211) as an ordered
+    single-column line frame — built WITHOUT a driver collect; consumers
+    either single-task-write it (write_xml) or stream it row-by-row
+    through toLocalIterator (CLI stdout)."""
     body = urls.select(
         F.col("url").alias("_k"),
         F.format_string('  <url><loc>%s</loc></url>',
                         F.regexp_replace(F.regexp_replace("url", "&", "&amp;"), "<", "&lt;"))
         .alias("value"),
     )
-    doc = _enveloped_lines(
+    return _enveloped_lines(
         urls, ['<?xml version="1.0" encoding="UTF-8"?>', "<crawloutput>"],
         body, ["</crawloutput>"])
-    doc.coalesce(1).write.mode("overwrite").text(path)
 
 
-def write_json(urls: DataFrame, path: str, ts_col=None) -> None:
+def write_xml(urls: DataFrame, path: str) -> None:
+    xml_lines(urls).coalesce(1).write.mode("overwrite").text(path)
+
+
+def json_lines(urls: DataFrame, ts_col=None) -> DataFrame:
     """The reference JSON envelope {urls:[...], timestamp, total}
-    (output.go:132-155) as a distributed write: one object row per URL
+    (output.go:132-155) as an ordered line frame: one object row per URL
     (leading comma except the first), envelope head/foot rows around
     them. Driver traffic is ONE scalar aggregate (min url + count), not
     the row set."""
@@ -147,8 +151,11 @@ def write_json(urls: DataFrame, path: str, ts_col=None) -> None:
     z = now.strftime("%z")
     stamp = now.strftime("%Y-%m-%dT%H:%M:%S") + f"{z[:3]}:{z[3:]}"  # RFC3339 offset
     foot = ['], "timestamp": %s, "total": %d}' % (json_quote(stamp), total)]
-    doc = _enveloped_lines(urls, ['{"urls": ['], body, foot)
-    doc.coalesce(1).write.mode("overwrite").text(path)
+    return _enveloped_lines(urls, ['{"urls": ['], body, foot)
+
+
+def write_json(urls: DataFrame, path: str, ts_col=None) -> None:
+    json_lines(urls, ts_col).coalesce(1).write.mode("overwrite").text(path)
 
 
 def json_quote(s: str) -> str:

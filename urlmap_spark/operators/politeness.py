@@ -68,21 +68,29 @@ def schedule_frontier(
     sched = sched.drop("_host")
     deferred = deferred.drop("_host")
     if global_cap is not None:
-        # Deterministic top-k by discovery order, TWO-PHASE so no window
-        # ever sees the whole frontier in one task:
+        # Deterministic top-k by discovery order, TWO-PHASE so no stage
+        # ever sees the whole frontier — or even the whole survivor set —
+        # in one task:
         #   phase 1: rank within a hash salt — any row in the true global
         #     top-cap is also within the top-cap of its own salt, so the
         #     per-salt top-cap survivors are a superset of the answer;
         #   phase 2: exact global rank over <= cap_salts * global_cap
-        #     survivors (bounded by the CAP, not the frontier).
+        #     survivors via the count-offset pattern (range shuffle +
+        #     per-partition rank + broadcast offsets, order.py) — a
+        #     global-cap of 10^7 would put cap_salts*cap rows in ONE task
+        #     under a partitionless window; here no task ever holds more
+        #     than survivors/parallelism rows.
         # Overflow rows re-queue (delays, never drops).
+        from .order import with_global_order
+
         g = sched.withColumn("_gs", F.pmod(F.xxhash64("url"), F.lit(cap_salts)))
         w1 = Window.partitionBy("_gs").orderBy(order_col)
         g = g.withColumn("_g1", F.row_number().over(w1))
         surv = g.filter(F.col("_g1") <= global_cap)
         losers = g.filter(F.col("_g1") > global_cap).drop("_g1", "_gs")
-        w2 = Window.orderBy(order_col)  # bounded: <= cap_salts * global_cap rows
-        surv = surv.withColumn("_g2", F.row_number().over(w2))
+        # order values are globally unique (with_global_order assigns
+        # them), satisfying the distinct-sort-key requirement
+        surv, _ = with_global_order(surv, [order_col], order_col="_g2", start=1)
         deferred = deferred.unionByName(
             surv.filter(F.col("_g2") > global_cap).drop("_g1", "_g2", "_gs")
         ).unionByName(losers)

@@ -10,10 +10,10 @@ URL-seen structure". Design (SURVEY.md §4.3.1):
   hashes derived from two 64-bit hashes) summarizes every seen URL;
   filters are built/merged per round with applyInPandas (one task per
   bucket) and persisted as (bucket, version, filter binary) rows;
-- the probe is a broadcast of the (small, fixed-size) filter blobs +
-  one mapInPandas pass over the candidates: rows whose bucket filter
-  definitely excludes them are DEFINITELY NEW and skip the exact
-  anti-join entirely; only "maybe seen" rows take the join.
+- the probe COGROUPS candidates with the filter table on the bucket
+  key (one shuffle on a 4-byte key, no driver hop): rows whose bucket
+  filter definitely excludes them are DEFINITELY NEW and skip the
+  exact anti-join entirely; only "maybe seen" rows take the join.
 
 At 10^10 URLs the exact set is a bucketed Iceberg table and the maybe-
 seen fraction ~= true-dup fraction + false-positive rate — the anti-
@@ -22,8 +22,6 @@ a growing crawl is most of them.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -111,42 +109,37 @@ def split_candidates(candidates: DataFrame, filters: DataFrame, cfg: BloomConfig
                      url_col: str = "url") -> tuple[DataFrame, DataFrame]:
     """candidates -> (definitely_new, maybe_seen).
 
-    The filter blobs are collected to the driver (n_buckets x m_bits/8
-    bytes — 4 MiB at defaults) and broadcast; the probe is one
-    mapInPandas pass, no shuffle, vectorized per bucket group inside
-    each Arrow batch. On a cluster the same blobs ride the torrent
-    broadcast to every executor once per round.
+    FULLY DISTRIBUTED probe: candidates are cogrouped with the
+    (bucket, filter) table on the bucket key and each bucket's task
+    probes its own blob — the filter blobs NEVER visit the driver, so
+    filter capacity is bounded by executor memory per bucket, not by
+    what a collect+broadcast can carry (at the 10^10-URL design point
+    the ~n*10-bit aggregate filter is ~12 GB — far past driver transit,
+    but only m_bits/8 per TASK here). The cogroup shuffles candidates
+    once on the 4-byte bucket key; on a cluster that shuffle replaces a
+    per-round broadcast of the whole filter set to every executor.
     """
-    blobs = {r["bucket"]: np.frombuffer(bytes(r["filter"]), dtype=np.uint8)
-             for r in filters.collect()}
-    sc = candidates.sparkSession.sparkContext
-    bblobs = sc.broadcast(blobs)
     m_bits, k = cfg.m_bits, cfg.k
-
     cand = _with_hash_cols(candidates, cfg, url_col)
     schema = T.StructType(cand.schema.fields + [T.StructField("_maybe", T.BooleanType())])
+    out_cols = [f.name for f in schema.fields]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = bblobs.value
-        for pdf in batches:
-            n = len(pdf)
-            maybe = np.zeros(n, dtype=bool)
-            bks = pdf["_bk"].to_numpy()
-            h1 = pdf["_h1"].to_numpy()
-            h2 = pdf["_h2"].to_numpy()
-            for bk in np.unique(bks):
-                blob = local.get(int(bk))
-                if blob is None:
-                    continue  # no filter -> definitely new
-                m = bks == bk
-                pos = _positions_vec(h1[m], h2[m], m_bits, k)
-                got = (blob[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
-                maybe[m] = got.all(axis=1)
-            out = pdf.copy()
-            out["_maybe"] = maybe
-            yield out
+    def probe(key, cpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
+        out = cpdf.copy()
+        if len(cpdf) == 0 or len(fpdf) == 0:
+            # no candidates in this bucket, or no filter yet -> all new
+            out["_maybe"] = np.zeros(len(cpdf), dtype=bool)
+            return out[out_cols]
+        blob = np.frombuffer(bytes(fpdf["filter"].iloc[0]), dtype=np.uint8)
+        for b in fpdf["filter"].iloc[1:]:  # unmerged deltas: fold by OR
+            blob = blob | np.frombuffer(bytes(b), dtype=np.uint8)
+        pos = _positions_vec(cpdf["_h1"].to_numpy(), cpdf["_h2"].to_numpy(), m_bits, k)
+        got = (blob[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        out["_maybe"] = got.all(axis=1)
+        return out[out_cols]
 
-    probed = cand.mapInPandas(probe, schema)
+    probed = cand.groupBy("_bk").cogroup(
+        filters.groupBy("bucket")).applyInPandas(probe, schema)
     return (probed.filter(~F.col("_maybe")).drop("_maybe", *_HASH_COLS),
             probed.filter(F.col("_maybe")).drop("_maybe", *_HASH_COLS))
 
