@@ -640,6 +640,22 @@ def _q_embed_ann_ivf(spark, sf_dir):
     return ivf_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=8, nprobe=3)
 
 
+def _q_embed_ann_blocked(spark, sf_dir):
+    """ANN whose bucket restriction is DuckDB-reproducible: sign_block
+    (axis-sign LSH, plain column arithmetic) prunes the scan to the
+    query's block, then exact top-k within it — an ANN entry whose rows,
+    schema AND values are oracle-checked end to end."""
+    _ship_package(spark)
+    from urlmap_spark.operators.similarity import brute_force_topk, sign_block
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qblk = sum((1 << (2 - i)) for i, x in enumerate(qv[:3]) if x >= 0)
+    blocked = sign_block(emb.filter(F.col("vec_id") != 0), dims=[0, 1, 2])
+    return brute_force_topk(blocked.filter(F.col("blk") == qblk), qv, k=10) \
+        .select("vec_id", "cosine")
+
+
 def _q_embed_neardup(spark, sf_dir):
     from urlmap_spark.operators.dedup import embedding_neardup_pairs
 
@@ -741,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed-cosine-topk": _q_embed_cosine_topk,
         "embed-ann-lsh": _q_embed_ann_lsh,
         "embed-ann-ivf": _q_embed_ann_ivf,
+        "embed-ann-blocked": _q_embed_ann_blocked,
         "embed-neardup": _q_embed_neardup,
         "text-langid": _q_text_langid,
         "text-quality": _q_text_quality,
@@ -1143,6 +1160,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
             FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "embed-ann-blocked": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS blk
+              FROM embeddings),
+            q AS (SELECT v AS qv, blk AS qblk FROM e WHERE vec_id = 0)
+            SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+            FROM e, q WHERE e.vec_id <> 0 AND e.blk = q.qblk
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
         "embed-neardup": """

@@ -256,7 +256,7 @@ def run_headline(spark) -> dict[str, float]:
     picks = [
         "fetch-join", "stats-agg", "per-host-quota-topk", "seen-anti-join",
         "first-wins-dedup", "url-normalize", "extract-explode",
-        "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
+        "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-capped",
         "embed-cosine-topk", "embed-ann-lsh", "text-langid", "text-quality",
         "token-count", "image-decode-meta",
     ]

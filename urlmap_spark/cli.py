@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--user-agent", default="urlmap/1.0")
     p.add_argument("--rate-limit", type=int, default=0,
                    help="global per-round fetch cap (0 = unlimited)")
+    p.add_argument("--retry-attempts", type=int, default=3,
+                   help="total fetch attempts per URL; 5xx re-enqueues "
+                        "until the cap, 4xx never retries (reference "
+                        "client.go RetryCount=3)")
     p.add_argument("--quota", type=int, default=0, help="per-host per-round cap (0 = unlimited)")
     p.add_argument("--round-budget", type=float, default=30.0,
                    help="seconds of wall-clock a round models; robots "
@@ -142,6 +146,7 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         same_domain=not args.no_same_domain,
         same_path_prefix=not args.no_path_prefix,
         user_agent=args.user_agent,
+        max_attempts=args.retry_attempts,
         robots_rules=robots_rules,
         render_modes=render_modes_df,
         host_quota=host_quota,

@@ -76,6 +76,16 @@ class CrawlConfig:
     same_domain: bool = True                 # hard-coded true in the reference CLI
     same_path_prefix: bool = True            # (cmd/urlmap/main.go:165-166)
     user_agent: str = "urlmap/1.0"
+    max_attempts: int = 1                    # total fetch attempts per URL:
+                                             # 5xx is TRANSIENT and re-enqueues
+                                             # into the next round until this
+                                             # cap; 4xx never retries
+                                             # (reference: client.go:63-83,
+                                             # RetryCount default 3). 1 = off;
+                                             # a static corpus re-serves the
+                                             # same row, so >1 only changes
+                                             # results when the corpus models
+                                             # transience (transient_5xx col)
     robots_rules: DataFrame | None = None    # parsed rules -> robots gate
     render_modes: DataFrame | None = None    # (host, use_js) detection cache ->
                                              # unified fetch dispatch (#4/#27);
@@ -173,9 +183,17 @@ def crawl(
         # join into the Arrow decode UDF and are dropped before the round
         # checkpoint — pixels never enter `seen`/frontier state or a
         # second shuffle.
+        retry = max(1, cfg.max_attempts)
+        has_attempt = retry > 1
         web_cols = ["url", "caption", "status"]
         if cfg.verify_payload:
             web_cols += ["bytes", "fmt", "phash"]
+        # transient-failure model (reference: client_test.go's flaky
+        # server): a corpus row with transient_5xx = t serves its 5xx
+        # status for the first t attempts, then 200
+        transient = has_attempt and "transient_5xx" in corpus.columns
+        if transient:
+            web_cols.append("transient_5xx")
         # unified dispatch (#4): JS-enabled hosts read the rendered
         # content column; hosts without one fall back to static
         # (reference: unified_client.go:77-119 GetWithFallback)
@@ -224,6 +242,9 @@ def crawl(
             order_counter = len(seeds)
             round_idx = 0
 
+        if has_attempt and "attempt" not in frontier.columns:
+            frontier = frontier.withColumn("attempt", F.lit(1))
+
         # seen is kept as a list of materialized deltas (union on demand):
         # no per-round checkpoint of the whole set, compacted past a threshold
         seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
@@ -248,11 +269,11 @@ def crawl(
 
             # --- dequeue-time depth gate (reference: crawler.go:207-211).
             # Pure BFS keeps one depth per round (= round_idx), so the gate is
-            # a driver-side comparison; with politeness deferral depths mix and
-            # we fall back to a real filter.
+            # a driver-side comparison; with politeness deferral (or retry
+            # re-enqueues) depths mix and we fall back to a real filter.
             skipped_depth = 0
             persisted = None  # unpersisted once the fetch checkpoint lands
-            if cfg.max_depth >= 0 and not politeness:
+            if cfg.max_depth >= 0 and not (politeness or has_attempt):
                 if round_idx > cfg.max_depth:
                     skipped_depth = n_frontier
                     process = None
@@ -283,9 +304,10 @@ def crawl(
             # --- politeness schedule (quota overflow re-queues, never drops) --
             n_deferred = 0
             if politeness:
+                fcols = ["url", "depth", "order"] + (["attempt"] if has_attempt else [])
                 sched, deferred = schedule_frontier(
                     process, cfg.host_quota, cfg.default_quota, cfg.global_cap)
-                deferred = deferred.select("url", "depth", "order").localCheckpoint(eager=True)
+                deferred = deferred.select(*fcols).localCheckpoint(eager=True)
                 n_deferred = deferred.count()
             else:
                 sched, deferred = process, None
@@ -303,8 +325,18 @@ def crawl(
             # Eager checkpoint: ONE materialization reused by results, metrics
             # and extraction (and truncates the per-round lineage chain, which
             # otherwise OOMs plan compilation after ~10 rounds).
+            fetched = allowed.join(web, "url", "left")
+            if transient:
+                # flaky-server model: attempts beyond the row's transient
+                # budget succeed (reference: client_test.go retry cases)
+                fetched = fetched.withColumn(
+                    "status",
+                    F.when(F.col("transient_5xx").isNotNull()
+                           & (F.col("attempt") > F.col("transient_5xx")),
+                           F.lit(200)).otherwise(F.col("status")),
+                ).drop("transient_5xx")
             fetched = (
-                allowed.join(web, "url", "left")
+                fetched
                 .withColumn("ok", F.coalesce(status_ok_expr(F.col("status")), F.lit(False)))
                 .withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
             )
@@ -327,6 +359,22 @@ def crawl(
                     .otherwise(F.lit(False)),
                 ).drop("bytes", "fmt", "phash")
             fetched = fetched.localCheckpoint(eager=True)
+            # --- split transient failures from final outcomes: a 5xx row
+            # with attempts left re-enqueues (reference retries in-fetch,
+            # client.go:63-83; a batch round IS the backoff) — it emits NO
+            # result row this round; only its last attempt lands in
+            # results/metrics. 4xx is always final.
+            n_retry = 0
+            retry_rows = None
+            final = fetched
+            if has_attempt:
+                can_retry = (F.col("status").between(500, 599)
+                             & (F.col("attempt") < retry))
+                retry_rows = fetched.filter(can_retry).select(
+                    "url", "depth", "order",
+                    (F.col("attempt") + 1).alias("attempt"))
+                final = fetched.filter(~can_retry)
+                n_retry = retry_rows.count()
             if persisted is not None:
                 # every consumer (deferred, gated, fetched) is materialized
                 # by now; without this, cached frontiers accrete in executor
@@ -347,7 +395,7 @@ def crawl(
             if catalog is not None:
                 # checkpointed runs persist full metrics per round (the
                 # resume contract), so aggregate eagerly
-                agg = fetched.agg(*agg_cols).collect()[0]
+                agg = final.agg(*agg_cols).collect()[0]
             else:
                 # in-memory runs defer the status aggregation: keep a
                 # reference to the (already materialized) round frame and
@@ -355,7 +403,7 @@ def crawl(
                 # Spark job per round, which is pure fixed cost at scale
                 agg = None
                 fetch_parts.append(
-                    fetched.select(
+                    final.select(
                         "status", "ok", "depth",
                         *(["payload_ok"] if cfg.verify_payload else []),
                         *(["render_mode"] if dispatch else []),
@@ -375,7 +423,7 @@ def crawl(
             n_extract = cfg.extract_partitions or spark.sparkContext.defaultParallelism
             exploded = (
                 explode_hrefs(
-                    fetched.filter(F.col("ok")).select("url", "depth", "order", "caption")
+                    final.filter(F.col("ok")).select("url", "depth", "order", "caption")
                 )
                 # materialize the href category here: the two canonicalization
                 # branch filters then reference a plain int attribute instead
@@ -431,10 +479,14 @@ def crawl(
             tick("order_counts")
             n_new = order_counter - prev_counter
             new_frontier = new_frontier.select("url", "depth", "order")
+            if has_attempt:
+                new_frontier = new_frontier.withColumn("attempt", F.lit(1))
+                if n_retry:
+                    new_frontier = new_frontier.unionByName(retry_rows)
 
             if deferred is not None:
                 next_frontier = new_frontier.unionByName(deferred).localCheckpoint(eager=True)
-            elif catalog is not None:
+            elif catalog is not None or n_retry:
                 next_frontier = new_frontier.localCheckpoint(eager=True)
             else:
                 # pure-BFS in-memory path: new_frontier is one projection
@@ -446,7 +498,7 @@ def crawl(
                 next_frontier = new_frontier
             tick("frontier_ckpt")
 
-            results_r = fetched.select(
+            results_r = final.select(
                 "url", "depth", "order", "status", "ok",
                 F.lit(round_idx).alias("round"),
             ).withColumn("n_links", F.lit(None).cast("int")).select(*RESULT_COLUMNS)
@@ -460,6 +512,7 @@ def crawl(
                 "new_discovered": n_new,
                 "order_counter": order_counter,
                 "wall_s": round(round_wall, 3),
+                **({"retried": n_retry} if has_attempt else {}),
             }
             if agg is not None:
                 m.update({
@@ -504,7 +557,7 @@ def crawl(
                     compacted = compacted.unionByName(p)
                 seen_parts = [compacted.localCheckpoint(eager=True)]
 
-            n_frontier = n_new + n_deferred
+            n_frontier = n_new + n_deferred + n_retry
             metrics.append(m)
             round_idx += 1
 
