@@ -28,7 +28,11 @@ EDGE_HREFS = [
     "/abs/path", "/abs/path/", "/abs?q=1", "/abs#f", "bare", "bare/child",
     "bare?q=2#f", "https://other.test/x", "http://other.test/y/",
     "https://other.test/x?q=1#f", "https://h.test:8080/p",
+    # single-dot-segment natives (cat 3/4) + boundary shapes
+    "./", "../", "./x?q=1#f", "../x/", "../x?y#z", "./deep/child",
+    "../deep/child",
     # adversarial -> must fall back to the exact UDF
+    ".//x", "..//x", "./.", "../..", "./..", "../.",
     "//protocol-relative.test/x", "HTTPS://upper.test/x", "hTtP://mixed.test/y",
     "/with/../dots", "./nested/./dot", "../../twice", "a/../b", "/trail/.",
     "/trail/..", " /lead-space", "/trail-space ", "col:on/path", "./a:b",

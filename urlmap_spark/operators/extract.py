@@ -90,10 +90,13 @@ def extract_same_domain(pages: DataFrame, base_col: str = "url",
 def href_category_expr() -> Column:
     """Categorize the ``href`` column for hybrid canonicalization:
     1 = absolute lowercase http(s), 2 = root-relative (no dot segments),
-    6 = bare relative (no scheme/dots), 9 = everything else (exact UDF).
-    Skip-scheme/empty/whitespace hrefs can never satisfy 1/2/6 (they all
-    contain ':', start with '#', or fail the trim/nonempty guards), so no
-    separate skip category is needed — the UDF branch drops them."""
+    3 = './'-relative (single leading dot segment), 4 = '../'-relative
+    (single leading parent segment), 6 = bare relative (no scheme/dots),
+    9 = everything else (exact UDF).
+    Skip-scheme/empty/whitespace hrefs can never satisfy a native
+    category (they all contain ':', start with '#', or fail the
+    trim/nonempty guards), so no separate skip category is needed — the
+    UDF branch drops them."""
     href = F.col("href")
     trimmed = href == F.trim(href)
     nonempty = href != ""
@@ -107,6 +110,20 @@ def href_category_expr() -> Column:
     # relative-merge resolution (urljoin) also collapses "//" inside a
     # relative path — those go to the exact UDF
     dslash = href.contains("//")
+    # './rest' and '../rest': exactly ONE leading dot segment, none in
+    # the remainder — urljoin semantics are then pure string surgery
+    # (dir + rest / parent(dir) + rest); deeper '../..' chains and inner
+    # dot segments keep the exact UDF
+    r3 = F.substring(href, 3, F.lit(1 << 30))
+    is_dotrel = (
+        href.startswith("./") & trimmed & ~dslash & ~r3.contains(":")
+        & ~r3.startswith("/") & ~r3.rlike(r"(^|/)\.{1,2}(/|$)")
+    )
+    r4 = F.substring(href, 4, F.lit(1 << 30))
+    is_parentrel = (
+        href.startswith("../") & trimmed & ~dslash & ~r4.contains(":")
+        & ~r4.startswith("/") & ~r4.rlike(r"(^|/)\.{1,2}(/|$)")
+    )
     is_bare = (
         nonempty & trimmed & ~href.contains(":") & ~dotseg & ~dslash
         & ~href.startswith("/") & ~href.startswith(".")
@@ -115,6 +132,8 @@ def href_category_expr() -> Column:
     return (
         F.when(is_abs, F.lit(1))
         .when(is_rootrel, F.lit(2))
+        .when(is_dotrel, F.lit(3))
+        .when(is_parentrel, F.lit(4))
         .when(is_bare, F.lit(6))
         .otherwise(F.lit(9))
     )
@@ -224,6 +243,10 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
                         F.lit(1 << 30)), "?", 1))
         .withColumn("_dir", F.regexp_replace(F.col("_bp"), r"[^/]*$", ""))
         .withColumn("_dir", F.when(F.col("_dir") == "", F.lit("/")).otherwise(F.col("_dir")))
+        # parent of _dir for '../rest' (cat 4); RFC 3986 clamps '..' at
+        # the root, so '/' stays '/' (the regex needs >=1 segment char)
+        .withColumn("_pdir", F.regexp_replace(F.col("_dir"), r"[^/]+/$", ""))
+        .withColumn("_pdir", F.when(F.col("_pdir") == "", F.lit("/")).otherwise(F.col("_pdir")))
         # host non-empty check for absolute hrefs (scheme verified above)
         .filter((c != 1) | ~F.col("_sh").isin("http://", "https://"))
         # path+query+fragment piece per category
@@ -231,6 +254,8 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
             "_pq",
             F.when(c == 1, F.substring(href, F.length("_sh") + 1, F.lit(1 << 30)))
             .when(c == 2, href)
+            .when(c == 3, F.concat(F.col("_dir"), F.substring(href, 3, F.lit(1 << 30))))
+            .when(c == 4, F.concat(F.col("_pdir"), F.substring(href, 4, F.lit(1 << 30))))
             .otherwise(F.concat(F.col("_dir"), href)),  # cat 6 (bare)
         )
         # normalize: strip fragment, split query, trailing-slash & root rules
@@ -255,7 +280,7 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
             native = native.filter(scope_condition(n_host, n_dir, seed_scopes, scope_prefix))
         if page_host_scope:
             native = native.filter(n_host == _light_host(base))
-    native = native.drop("_cat", "_sh", "_bp", "_dir", "_pq", "_nofrag", "_p", "_q")
+    native = native.drop("_cat", "_sh", "_bp", "_dir", "_pdir", "_pq", "_nofrag", "_p", "_q")
     slow = (
         tagged.filter(c == 9).drop("_cat")
         .withColumn("outlink", canonical_outlink_udf(base, href))

@@ -51,7 +51,7 @@ def extraction_stats(pages: DataFrame, caption_col: str = "caption") -> DataFram
     tagged = exploded.withColumn(
         "_kept",
         F.when(F.col("_cat") == 1, ~sh.isin("http://", "https://"))
-        .when(F.col("_cat").isin(2, 6), F.lit(True))
+        .when(F.col("_cat").isin(2, 3, 4, 6), F.lit(True))
         .otherwise(canonical_outlink_udf(F.col("url"), F.col("href")).isNotNull()),
     ).withColumn(
         "outcome",

@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import urlcore
-from ..functions.urlkernel import same_domain_expr, same_path_prefix_expr, status_ok_expr
+from ..functions.urlkernel import (
+    same_domain_expr,
+    same_path_prefix_expr,
+    should_skip_expr,
+    status_ok_expr,
+)
 from ..operators.extract import canonicalize_links, explode_hrefs, href_category_expr
 from ..operators.order import first_wins, with_global_order
 from ..operators.politeness import schedule_frontier
@@ -425,11 +430,23 @@ def crawl(
                 explode_hrefs(
                     final.filter(F.col("ok")).select("url", "depth", "order", "caption")
                 )
+                # drop junk BEFORE the shuffle: skip-scheme/empty hrefs and
+                # the no-href posexplode_outer null rows would be dropped by
+                # the UDF branch anyway — filtering here (one JVM-side regex)
+                # keeps them out of the repartition exchange, the checkpoint
+                # write and the Arrow lane (~8% of hrefs on the Zipf corpus)
+                .filter(F.col("href").isNotNull()
+                        & ~should_skip_expr(F.col("href")))
                 # materialize the href category here: the two canonicalization
                 # branch filters then reference a plain int attribute instead
                 # of having the category CASE substituted into each of them
                 .withColumn("_cat", href_category_expr())
                 .repartition(n_extract)
+                # eager checkpoint, NOT exchange-reuse: the two branch
+                # consumers do share the repartition exchange, but through
+                # it they'd re-trigger the parent fetch-checkpoint scan and
+                # regex findall per consumer — measured 2.6x slower without
+                # this materialization (8-core VP crawl 48s -> 125s)
                 .localCheckpoint(eager=True)
             )
             tick("explode_ckpt")
