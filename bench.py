@@ -343,7 +343,7 @@ def main() -> None:
                 f"Corpus: {BENCH_PAGES} pages / {BENCH_HOSTS} Zipf(1.2) hosts, seed={BENCH_SEED}, "
                 f"BFS max_depth={BENCH_DEPTH}, identical input parquet for both runs.\n\n"
                 f"Seed list: {BENCH_SEEDS} seeds (all host roots + stride sample); "
-                "best of 2 trials per operating point.\n\n"
+                f"best of {trials} trials per operating point.\n\n"
                 "| cores | wall s | URLs processed | URLs/s | steady URLs/s | rounds |\n"
                 "|---|---|---|---|---|---|\n"
                 f"| local[{lo}] | {results[lo]['wall_s']} | {results[lo]['processed']} | "
