@@ -131,3 +131,40 @@ def test_cli_stdout_json_streams_valid_document(spark, tmp_path, capsys):
     doc = json.loads(out)
     assert doc["total"] == 7
     assert len(doc["urls"]) == 7
+
+
+def test_cli_verbose_progress_lines(spark, tmp_path, capsys):
+    """--verbose emits one progress line per round (reference live
+    ticker, progress.go:272-298 — batch analog is per-round)."""
+    corpus_p = str(tmp_path / "pc.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p,
+        "--no-path-prefix", "--output", str(tmp_path / "pout"),
+        "--verbose",
+    ], _spark=spark)
+    assert rc == 0
+    err = capsys.readouterr().err.splitlines()
+    rounds = [l for l in err if l.startswith("round ")]
+    assert len(rounds) >= 2
+    assert "frontier=" in rounds[0] and "new=" in rounds[0]
+
+
+def test_cli_json_log_format(spark, tmp_path, capsys):
+    """--log-format json: every stderr event is a JSON object with an
+    event tag (reference structured logging, config/logging.go)."""
+    corpus_p = str(tmp_path / "jc.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p,
+        "--no-path-prefix", "--output", str(tmp_path / "jout"),
+        "--log-format", "json",
+    ], _spark=spark)
+    assert rc == 0
+    events = [json.loads(l) for l in capsys.readouterr().err.splitlines() if l.strip()]
+    kinds = [e["event"] for e in events]
+    assert kinds.count("round") >= 2
+    assert kinds[-1] == "summary"
+    assert events[-1]["processed"] == 7
+    r0 = next(e for e in events if e["event"] == "round")
+    assert {"round", "frontier", "new_discovered", "wall_s"} <= set(r0)

@@ -71,7 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-format", default="text",
                    choices=["text", "json", "csv", "xml"])
     p.add_argument("--master", default=None)
-    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--verbose", action="store_true",
+                   help="INFO-level Spark logs + a per-round progress line "
+                        "(reference progress.go live ticker, batch analog)")
+    p.add_argument("--log-format", choices=["text", "json"], default="text",
+                   help="progress/summary line format (reference logging "
+                        "config, config/logging.go); json always includes "
+                        "per-round progress events")
     return p
 
 
@@ -141,6 +147,17 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                          .unionByName(manual)
         render_modes_df = modes
 
+    def _progress(m: dict) -> None:
+        if args.log_format == "json":
+            print(json.dumps({"event": "round", **m}), file=sys.stderr)
+        else:
+            extras = "".join(
+                f" {k}={m[k]}" for k in ("blocked_robots", "retried", "rendered")
+                if m.get(k))
+            print(f"round {m['round']}: frontier={m['frontier']} "
+                  f"new={m['new_discovered']}{extras} wall={m['wall_s']}s",
+                  file=sys.stderr)
+
     cfg = CrawlConfig(
         max_depth=args.depth,
         same_domain=not args.no_same_domain,
@@ -154,6 +171,7 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         global_cap=args.rate_limit or None,
         checkpoint_dir=args.checkpoint,
         verify_payload=args.verify_payload,
+        progress=_progress if (args.verbose or args.log_format == "json") else None,
     )
     run = crawl(spark, corpus, seeds if len(seeds) > 1 else seeds[0], cfg,
                 resume=args.resume)
@@ -188,6 +206,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
            if render_modes_df is not None else {}),
         **({"sitemaps": sitemap_count} if sitemap_count else {}),
     }
+    if args.log_format == "json":
+        summary = {"event": "summary", **summary}
     print(json.dumps(summary), file=sys.stderr)
     if _spark is None:
         spark.stop()

@@ -108,6 +108,12 @@ class CrawlConfig:
                                              # front of the exact seen anti-join
     bloom_buckets: int = 32
     bloom_bits: int = 1 << 22                # 512 KiB per bucket at default
+    progress: object | None = None           # per-round callback(metrics dict)
+                                             # — the batch analog of the
+                                             # reference's live progress ticker
+                                             # (progress.go:272-298); exceptions
+                                             # are swallowed (reporting must
+                                             # never kill a crawl)
 
 
 @dataclass
@@ -303,6 +309,11 @@ def crawl(
                     "order_counter": order_counter, "wall_s": round(time.time() - t0, 3),
                     **({"payload_ok": 0} if cfg.verify_payload else {}),
                 })
+                if cfg.progress is not None:
+                    try:
+                        cfg.progress(dict(metrics[-1]))
+                    except Exception:  # noqa: BLE001
+                        pass
                 total_skipped += skipped_depth
                 break
 
@@ -576,6 +587,11 @@ def crawl(
 
             n_frontier = n_new + n_deferred + n_retry
             metrics.append(m)
+            if cfg.progress is not None:
+                try:
+                    cfg.progress(dict(m))
+                except Exception:  # noqa: BLE001 — reporting never kills a crawl
+                    pass
             round_idx += 1
 
         if catalog is not None:
