@@ -10,7 +10,12 @@ with depth — the reference crawler's text-output semantics
 SURVEY.md §2 plus the training-data-pipeline operators, each expressed
 over the driver's TPC-H-ish tables with a value-matching DuckDB oracle.
 Non-SQL-expressible ops (MinHash-LSH, SimHash, LSH/IVF ANN, image
-decode, full BFS) have no oracle entry -> rows-only check.
+decode) have no oracle entry -> rows-only check. The crawl itself is
+value-checked two ways: ``crawl-reach`` (url/depth/status/ok vs a
+recursive-CTE BFS — DuckDB reproduces reachability, first-discovery
+depths and fetch outcomes) plus the rows-only ``crawl-bfs`` whose FIFO
+``order`` column is pinned by the pytest oracle-BFS suite instead (an
+enqueue rank is not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -60,10 +65,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_DOC_STATUS_MULT = 2654435761  # Knuth multiplicative hash — ARITHMETIC so
+                               # DuckDB reproduces the same status column
+                               # (xxhash64 would make the web oracle-opaque)
+
+
 def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> corpus(url, caption, status): page p{doc_id} links to
     three arithmetic neighbors (mod N_DOC_PAGES), one dead page, one
-    skip-scheme href; ~6% of pages 404/500 by doc_id hash."""
+    skip-scheme href; ~6% of pages 404/500 by multiplicative doc_id hash
+    (pure arithmetic — the recursive-CTE crawl oracle recomputes it)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     url = F.concat(F.lit("https://docs.test/p"), F.col("doc_id"))
 
@@ -75,10 +86,9 @@ def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit('href="/dead/x'), F.col("doc_id") % 101, F.lit('"')),
         F.lit('href="mailto:a@b.test"'),
     )
+    h = (F.col("doc_id") * F.lit(_DOC_STATUS_MULT) + 17) % 100  # +17: p0 stays OK
     status = (
-        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(100)) < 4, F.lit(404))
-        .when(F.pmod(F.xxhash64("doc_id"), F.lit(100)) < 6, F.lit(500))
-        .otherwise(F.lit(200))
+        F.when(h < 4, F.lit(404)).when(h < 6, F.lit(500)).otherwise(F.lit(200))
     )
     return docs.select(url.alias("url"), caption.alias("caption"), status.alias("status"))
 
@@ -715,6 +725,22 @@ def _q_crawl_bfs(spark, sf_dir):
     return run.results.select("url", "depth", "order", "status", "ok").orderBy("order")
 
 
+def _q_crawl_reach(spark, sf_dir):
+    """Crawl-level VALUE check: the REAL crawl engine's (url,
+    first-discovery depth, status, ok) set over the docs-derived web,
+    reproduced by a recursive-CTE BFS in DuckDB (BFS first-discovery
+    depth == min path depth). `order` stays in crawl-bfs's rows-only
+    entry — FIFO enqueue rank is not SQL-expressible — but reachability,
+    depths and fetch outcomes are fully oracle-checked here."""
+    _ship_package(spark)
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+
+    corpus = _doc_corpus(spark, sf_dir)
+    run = crawl(spark, corpus, "https://docs.test/p0",
+                CrawlConfig(max_depth=2, same_path_prefix=False))
+    return run.results.select("url", "depth", "status", "ok")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-engine primitives (SURVEY.md §2 [Q] rows)
@@ -765,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc-fingerprint": _q_doc_fingerprint,
         "image-decode-meta": _q_image_decode_meta,
         "crawl-bfs": _q_crawl_bfs,
+        "crawl-reach": _q_crawl_reach,
     }
 
 
@@ -1162,6 +1189,43 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
+        "crawl-reach": """
+            -- recursive-CTE BFS over the docs-derived web: page p{id}
+            -- links to (7id+1, 3id+2, 11id+5) mod 500 plus one dead
+            -- URL dead/x{id%101} (encoded as id 500+id%101); only OK
+            -- pages (status 200 by the arithmetic hash) expand; depth
+            -- capped at 2. First-discovery depth == min path depth.
+            WITH RECURSIVE reach(id, depth) AS (
+                SELECT 0, 0
+              UNION
+                SELECT t.tid, r.depth + 1
+                FROM reach r
+                JOIN documents d ON d.doc_id = r.id
+                CROSS JOIN LATERAL (VALUES
+                    ((r.id * 7 + 1) % 500),
+                    ((r.id * 3 + 2) % 500),
+                    ((r.id * 11 + 5) % 500),
+                    (500 + r.id % 101)) AS t(tid)
+                WHERE r.depth < 2 AND r.id < 500
+                  AND ((r.id * 2654435761 + 17) % 100) >= 6
+            ),
+            first AS (SELECT id, min(depth) AS depth FROM reach GROUP BY id),
+            final AS (
+              SELECT f.id, f.depth,
+                     (f.id < 500 AND d.doc_id IS NOT NULL) AS is_page
+              FROM first f
+              LEFT JOIN documents d ON d.doc_id = f.id AND f.id < 500)
+            SELECT CASE WHEN id >= 500
+                        THEN 'https://docs.test/dead/x' || (id - 500)
+                        ELSE 'https://docs.test/p' || id END AS url,
+                   depth,
+                   CASE WHEN NOT is_page THEN 0
+                        WHEN (id * 2654435761 + 17) % 100 < 4 THEN 404
+                        WHEN (id * 2654435761 + 17) % 100 < 6 THEN 500
+                        ELSE 200 END AS status,
+                   (is_page AND (id * 2654435761 + 17) % 100 >= 6) AS ok
+            FROM final
+        """,
         "embed-ann-blocked": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1214,4 +1278,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
         # embed-ann-lsh, embed-ann-ivf, image-decode-meta, crawl-bfs
+        # (crawl-bfs keeps `order`, which only the pytest oracle-BFS can
+        # pin; crawl-reach above value-checks the rest of the crawl)
     }
