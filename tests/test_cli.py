@@ -168,3 +168,20 @@ def test_cli_json_log_format(spark, tmp_path, capsys):
     assert events[-1]["processed"] == 7
     r0 = next(e for e in events if e["event"] == "round")
     assert {"round", "frontier", "new_discovered", "wall_s"} <= set(r0)
+
+
+def test_cli_concurrent_and_progress_flags(spark, tmp_path, capsys):
+    """--concurrent sets the partition fan-out (reference -c workers);
+    --progress emits round lines without --verbose."""
+    corpus_p = str(tmp_path / "cc.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p,
+        "--no-path-prefix", "--output", str(tmp_path / "cout"),
+        "--concurrent", "4", "--progress",
+    ], _spark=spark)
+    assert rc == 0
+    err = capsys.readouterr().err.splitlines()
+    assert any(l.startswith("round ") for l in err)
+    summary = json.loads(err[-1])
+    assert summary["processed"] == 7

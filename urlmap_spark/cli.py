@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--respect-robots", action="store_true")
     p.add_argument("--robots-lines", help="parquet path of (host, lineno, line) robots lines")
     p.add_argument("--user-agent", default="urlmap/1.0")
+    p.add_argument("--concurrent", "-c", type=int, default=0,
+                   help="parallelism hint (reference -c worker count): sets "
+                        "the frontier/extraction partition fan-out; 0 = "
+                        "spark default parallelism")
+    p.add_argument("--progress", action="store_true",
+                   help="per-round progress lines without full --verbose "
+                        "(reference -p, progress.go)")
     p.add_argument("--rate-limit", type=int, default=0,
                    help="global per-round fetch cap (0 = unlimited)")
     p.add_argument("--retry-attempts", type=int, default=3,
@@ -171,7 +178,10 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         global_cap=args.rate_limit or None,
         checkpoint_dir=args.checkpoint,
         verify_payload=args.verify_payload,
-        progress=_progress if (args.verbose or args.log_format == "json") else None,
+        frontier_partitions=args.concurrent or None,
+        extract_partitions=args.concurrent or None,
+        progress=_progress if (args.progress or args.verbose
+                               or args.log_format == "json") else None,
     )
     run = crawl(spark, corpus, seeds if len(seeds) > 1 else seeds[0], cfg,
                 resume=args.resume)
