@@ -162,12 +162,7 @@ def run_verified_crawl(spark, corpus_parquet: str) -> dict:
     # serializes the whole partition before Python starts): measured 18%
     # on the decode stage at 8 cores
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-    corpus = (
-        spark.read.parquet(corpus_parquet)
-        .repartition(JOIN_PARTS, F.col("url"))
-        .sortWithinPartitions("url")
-        .persist()
-    )
+    corpus = cached_corpus(spark, corpus_parquet)
     corpus.count()
     seeds = corpus.select("url").filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
     t0 = time.time()
@@ -207,23 +202,29 @@ def ensure_corpus(spark) -> str:
     return p
 
 
-def run_crawl(spark, corpus_parquet: str, corpus=None) -> dict:
+def cached_corpus(spark, corpus_parquet: str):
+    """The corpus cached hash-partitioned AND sorted on the join key:
+    the per-round fetch-join then needs NO exchange and NO sort on the
+    big side (the cluster-version of an Iceberg table bucketed by url).
+    ONE definition shared by every caller — the bucketing scheme must
+    not drift between single-shot and best-of-N paths."""
     from pyspark.sql import functions as F
 
+    return (
+        spark.read.parquet(corpus_parquet)
+        .repartition(JOIN_PARTS, F.col("url"))
+        .sortWithinPartitions("url")
+        .persist()
+    )
+
+
+def run_crawl(spark, corpus_parquet: str, corpus=None) -> dict:
     from urlmap_spark.plans.crawl import CrawlConfig, crawl
 
-    # cache the corpus hash-partitioned AND sorted on the join key: the
-    # per-round fetch-join then needs NO exchange and NO sort on the big
-    # side (the cluster-version of an Iceberg table bucketed by url).
     # A caller doing best-of-N trials passes the already-cached corpus in
     # so trials don't stack persisted copies.
     if corpus is None:
-        corpus = (
-            spark.read.parquet(corpus_parquet)
-            .repartition(JOIN_PARTS, F.col("url"))
-            .sortWithinPartitions("url")
-            .persist()
-        )
+        corpus = cached_corpus(spark, corpus_parquet)
     corpus.count()  # materialize the cache outside the timed window
     # seed list (north_rule: "under the same seed list"): every host root
     # plus a deterministic stride of interior pages — fat frontier from
@@ -389,14 +390,7 @@ def main() -> None:
     # best-of-3 crawl trials against ONE cached corpus: this host's
     # run-to-run swings reach 3x on identical plans (BENCH/BASELINE.md),
     # so a single-shot crawl number is noise, not signal
-    from pyspark.sql import functions as F
-
-    corpus = (
-        spark.read.parquet(cp)
-        .repartition(JOIN_PARTS, F.col("url"))
-        .sortWithinPartitions("url")
-        .persist()
-    )
+    corpus = cached_corpus(spark, cp)
     trials = [run_crawl(spark, cp, corpus=corpus) for _ in range(3)]
     corpus.unpersist()
     crawl_stats = max(trials, key=lambda r: r["urls_per_sec"])

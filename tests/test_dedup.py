@@ -167,3 +167,43 @@ def test_null_text_tolerated(spark):
     assert len(sigs) == 3 and all(len(s) == 8 for s in sigs.values())
     # null and '' collapse to the same ''-shingle signature
     assert sigs[1] == sigs[2]
+
+
+def test_padded_chunks_skew_guard():
+    """One long outlier row must not inflate the padded width of the
+    whole batch: chunks respect the element budget (a single row longer
+    than the budget stands alone, bounding peak memory at the old
+    per-row level)."""
+    import numpy as np
+
+    col = np.empty(5, dtype=object)
+    col[:] = [[1, 2, 3], None, list(range(50)), [7], []]
+    chunks = list(D._padded_chunks(col, budget=16))
+    assert sum(e - s for s, e, _, _ in chunks) == 5
+    ends = [e for _, e, _, _ in chunks]
+    starts = [s for s, _, _, _ in chunks]
+    assert starts == [0] + ends[:-1]  # contiguous, in order
+    for s, e, H, lens in chunks:
+        assert H.shape[0] == e - s and len(lens) == e - s
+        assert H.shape[0] * H.shape[1] <= 16 or H.shape[0] == 1
+        for i in range(s, e):
+            want = col[i] if col[i] is not None else []
+            assert list(H[i - s, : len(want)]) == list(want)
+            assert (H[i - s, len(want):] == 0).all()
+
+
+def test_chunked_signatures_match_unchunked(spark, docs):
+    """Forcing a tiny chunk budget (many chunks per batch, every doc its
+    own chunk) must not change a single minhash signature or simhash
+    value. pad_budget is a real closure-captured parameter so it reaches
+    executor workers (a module monkeypatch would not)."""
+    base_sig = sorted((r["id"], list(r["sig"]))
+                      for r in D.minhash_signatures(docs, num_hashes=16).collect())
+    base_sim = sorted(tuple(r) for r in D.simhash_column(docs).collect())
+    tiny_sig = sorted((r["id"], list(r["sig"]))
+                      for r in D.minhash_signatures(docs, num_hashes=16,
+                                                    pad_budget=8).collect())
+    tiny_sim = sorted(tuple(r)
+                      for r in D.simhash_column(docs, pad_budget=8).collect())
+    assert tiny_sig == base_sig
+    assert tiny_sim == base_sim

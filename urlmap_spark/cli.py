@@ -45,10 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference -p, progress.go)")
     p.add_argument("--rate-limit", type=int, default=0,
                    help="global per-round fetch cap (0 = unlimited)")
-    p.add_argument("--retry-attempts", type=int, default=3,
+    p.add_argument("--retry-attempts", type=int, default=1,
                    help="total fetch attempts per URL; 5xx re-enqueues "
                         "until the cap, 4xx never retries (reference "
-                        "client.go RetryCount=3)")
+                        "client.go RetryCount=3 against LIVE servers; a "
+                        "static corpus re-serves the same row, so the "
+                        "default here is 1 — pass 3 when the corpus "
+                        "models transience via a transient_5xx column)")
     p.add_argument("--quota", type=int, default=0, help="per-host per-round cap (0 = unlimited)")
     p.add_argument("--round-budget", type=float, default=30.0,
                    help="seconds of wall-clock a round models; robots "

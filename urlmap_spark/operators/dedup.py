@@ -122,6 +122,39 @@ def ngram_jaccard_pairs(
 
 _MERSENNE = (1 << 61) - 1
 
+_PAD_BUDGET = 1 << 24  # elements per padded chunk (128 MiB of int64)
+
+
+def _padded_chunks(col: np.ndarray, budget: int | None = None):
+    """Slice a batch's list-column into row runs whose padded
+    (rows x maxlen) matrix stays under `budget` elements, so ONE long
+    outlier document cannot inflate the padding of the whole Arrow
+    batch (a 1M-shingle doc in a 10k-row batch would otherwise allocate
+    rows x 1M cells). Yields (start, end, H, lens) with H zero-padded
+    int64; all-empty rows yield a 1-wide all-padding chunk."""
+    if budget is None:
+        budget = _PAD_BUDGET  # read at call time so tests can shrink it
+    n = len(col)
+    lens = np.fromiter((0 if hl is None else len(hl) for hl in col),
+                       dtype=np.int64, count=n)
+    start = 0
+    while start < n:
+        end = start + 1
+        mx = max(int(lens[start]), 1)
+        while end < n:
+            nmx = max(mx, int(lens[end]), 1)
+            if (end - start + 1) * nmx > budget:
+                break
+            mx = nmx
+            end += 1
+        H = np.zeros((end - start, mx), dtype=np.int64)
+        for i in range(start, end):
+            hl = col[i]
+            if hl is not None and len(hl):
+                H[i - start, : len(hl)] = hl
+        yield start, end, H, lens[start:end]
+        start = end
+
 
 def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
@@ -133,6 +166,7 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signatures(
     df: DataFrame, num_hashes: int = 64, n: int = 3, seed: int = 42,
     id_col: str = "doc_id", text_col: str = "text",
+    pad_budget: int | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) — shingling AND shingle hashing stay
     JVM-side (shingles_expr -> per-element xxhash64, whole-stage
@@ -156,32 +190,23 @@ def minhash_signatures(
         k = len(a)
         for pdf in batches:
             nrows = len(pdf)
-            col = pdf["hs"]
-            lens = np.fromiter((0 if hl is None else len(hl) for hl in col),
-                               dtype=np.int64, count=nrows)
-            mx = int(lens.max()) if nrows else 0
-            if mx == 0:
-                yield pd.DataFrame({
-                    "id": pdf["id"].values,
-                    "sig": [np.full(k, _MERSENNE, dtype=np.int64)] * nrows})
-                continue
-            # ONE padded (rows x maxlen) matrix per batch; the k permuted-
-            # min reductions are then whole-batch numpy ops (the per-row
-            # matmul loop was the dominant cost of dedup-minhash-lsh).
-            # int64 wrap-around is deterministic and fine for a hash family;
-            # padding cells are masked to the (unreachable) modulus so they
-            # never win a min — per-row outputs are byte-identical to the
-            # old per-row loop (pinned by the pair-parity tests).
-            H = np.zeros((nrows, mx), dtype=np.int64)
-            for i, hl in enumerate(col):
-                if hl is not None and len(hl):
-                    H[i, : len(hl)] = hl
-            pad = np.arange(mx, dtype=np.int64)[None, :] >= lens[:, None]
+            # Padded (rows x maxlen) matrices, CHUNKED to a fixed element
+            # budget (skew guard): the k permuted-min reductions are
+            # whole-chunk numpy ops (the per-row matmul loop was the
+            # dominant cost of dedup-minhash-lsh). int64 wrap-around is
+            # deterministic and fine for a hash family; padding cells are
+            # masked to the (unreachable) modulus so they never win a min
+            # — per-row outputs are byte-identical to the old per-row
+            # loop (pinned by the pair-parity tests). Rows with no
+            # shingles (coalesced null text never produces them, but be
+            # total) come out as all-_MERSENNE sentinels.
             sig = np.empty((nrows, k), dtype=np.int64)
-            for j in range(k):
-                mj = (a[j] * H + b[j]) % _MERSENNE
-                mj[pad] = _MERSENNE
-                sig[:, j] = mj.min(axis=1)
+            for start, end, H, lens in _padded_chunks(pdf["hs"].to_numpy(), pad_budget):
+                pad = np.arange(H.shape[1], dtype=np.int64)[None, :] >= lens[:, None]
+                for j in range(k):
+                    mj = (a[j] * H + b[j]) % _MERSENNE
+                    mj[pad] = _MERSENNE
+                    sig[start:end, j] = mj.min(axis=1)
             yield pd.DataFrame({"id": pdf["id"].values, "sig": list(sig)})
 
     return hashed.mapInPandas(gen, schema)
@@ -229,6 +254,7 @@ def minhash_lsh_pairs(
 
 def simhash_column(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    pad_budget: int | None = None,
 ) -> DataFrame:
     """(id, simhash long): sign-sum of token-hash bit vectors. Token
     split + hashing stay JVM-side (xxhash64 per distinct-preserving
@@ -250,31 +276,25 @@ def simhash_column(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        one = np.uint64(1)
         for pdf in batches:
             nrows = len(pdf)
-            col = pdf["hs"]
-            lens = np.fromiter((0 if hl is None else len(hl) for hl in col),
-                               dtype=np.int64, count=nrows)
-            mx = int(lens.max()) if nrows else 0
-            if mx == 0:
-                yield pd.DataFrame({"id": pdf["id"].values,
-                                    "simhash": np.zeros(nrows, dtype=np.int64)})
-                continue
-            # ONE padded (rows x maxlen) uint64 matrix per batch; the 64
-            # per-bit sign-sums are whole-batch numpy reductions. Padding
+            # Padded (rows x maxlen) uint64 matrices, CHUNKED to a fixed
+            # element budget (skew guard — see _padded_chunks); the 64
+            # per-bit sign-sums are whole-chunk numpy reductions. Padding
             # zeros contribute 0 to every bit count and the sign-sum uses
             # the TRUE length (v = 2*cnt - len), so padded cells are inert
-            # — outputs byte-identical to the old per-row loop.
-            H = np.zeros((nrows, mx), dtype=np.uint64)
-            for i, hl in enumerate(col):
-                if hl is not None and len(hl):
-                    H[i, : len(hl)] = np.asarray(hl, dtype=np.int64).astype(np.uint64)
+            # — outputs byte-identical to the old per-row loop. Empty/null
+            # token lists come out as simhash 0.
             out = np.zeros(nrows, dtype=np.uint64)
-            one = np.uint64(1)
-            for bit in range(64):
-                cnt = ((H >> np.uint64(bit)) & one).sum(axis=1).astype(np.int64)
-                v = 2 * cnt - lens
-                out |= (v > 0).astype(np.uint64) << np.uint64(bit)
+            for start, end, H, lens in _padded_chunks(pdf["hs"].to_numpy(), pad_budget):
+                Hu = H.view(np.uint64)  # two's-complement reinterpret
+                acc = np.zeros(end - start, dtype=np.uint64)
+                for bit in range(64):
+                    cnt = ((Hu >> np.uint64(bit)) & one).sum(axis=1).astype(np.int64)
+                    v = 2 * cnt - lens
+                    acc |= (v > 0).astype(np.uint64) << np.uint64(bit)
+                out[start:end] = acc
             yield pd.DataFrame({"id": pdf["id"].values,
                                 "simhash": out.astype(np.int64)})
 

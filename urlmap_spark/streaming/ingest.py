@@ -61,11 +61,23 @@ class StreamingSeenIngest:
         if not legacy:
             return
         old = self.spark.read.parquet(*legacy).select("url").dropDuplicates(["url"])
+        # crash-safety: a previous migration may have died between the
+        # bucketed append and the flat-file removal — anti-join against
+        # rows already in bucket dirs so re-running never duplicates
+        try:
+            bucketed = self.spark.read.parquet(
+                *[os.path.join(self.seen_path, d)
+                  for d in os.listdir(self.seen_path)
+                  if d.startswith("bucket=")])
+            old = old.join(bucketed.select("url"), "url", "left_anti")
+        except Exception:  # no bucket dirs yet
+            pass
         # localCheckpoint: fully materialize BEFORE touching the files the
         # plan reads from (the append below must not scan its own output)
         old = old.localCheckpoint(eager=True)
-        self._bucketed(old).write.mode("append") \
-            .partitionBy("bucket").parquet(self.seen_path)
+        if old.count() > 0:
+            self._bucketed(old).write.mode("append") \
+                .partitionBy("bucket").parquet(self.seen_path)
         for p in legacy:
             os.remove(p)
 
