@@ -267,10 +267,17 @@ def run_headline(spark) -> dict[str, float]:
     qs = E.queries()
     out = {}
     for name in picks:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        # best-of-2: single-shot per-query times swing up to 3x between
+        # windows on this host (image-decode-meta observed 9.2s and
+        # 29.7s on identical code)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        out[name] = best
     return out
 
 
