@@ -188,3 +188,61 @@ def test_empty_fetch_round_metrics_have_zero_counts(spark):
         assert m["processed"] == 0 and m["crawled"] == 0 and m["failed"] == 0
         assert m["max_depth"] == 0 and m["urls_per_sec"] == 0.0
     assert all("processed" in m for m in run.metrics)
+
+
+def test_checkpointed_frontier_is_host_bucketed(spark, tmp_path):
+    """north_rule: the persisted frontier is partitioned by host-hash —
+    checkpointed rounds lay the next_frontier out in _hb= bucket dirs
+    (prunable per-host maintenance reads), and resume still works."""
+    import glob
+
+    pdf = C.corpus_pandas(seed=11, n_hosts=4, total_pages=50, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    ck = str(tmp_path / "bck")
+    partial = crawl(spark, cdf, "https://h0.example-11.test/", CrawlConfig(
+        max_depth=3, same_path_prefix=False, same_domain=False,
+        checkpoint_dir=ck, max_rounds=2))
+    assert partial.rounds == 2
+    bucket_dirs = glob.glob(ck + "/rounds/r=0000/next_frontier/_hb=*")
+    assert len(bucket_dirs) > 1
+    resumed = crawl(spark, cdf, "https://h0.example-11.test/", CrawlConfig(
+        max_depth=3, same_path_prefix=False, same_domain=False,
+        checkpoint_dir=ck), resume=True)
+    full = crawl(spark, cdf, "https://h0.example-11.test/", CrawlConfig(
+        max_depth=3, same_path_prefix=False, same_domain=False))
+    a = [(r["url"], r["depth"], r["order"]) for r in resumed.results.orderBy("order").collect()]
+    b = [(r["url"], r["depth"], r["order"]) for r in full.results.orderBy("order").collect()]
+    assert a == b
+
+
+def test_resume_with_pending_retries(spark, tmp_path):
+    """Kill a retrying crawl mid-rounds: the checkpointed frontier
+    carries the attempt column, and resume completes the recovery
+    exactly like an uninterrupted run."""
+    rows = [
+        {"image_id": "r0", "bytes": None, "w": 32, "h": 32, "fmt": "ppm",
+         "caption": 'href="/flaky" href="/solid"', "phash": 0,
+         "url": "https://rt.test/", "status": 200, "transient_5xx": None},
+        {"image_id": "r1", "bytes": None, "w": 32, "h": 32, "fmt": "ppm",
+         "caption": 'href="/deep"', "phash": 0,
+         "url": "https://rt.test/flaky", "status": 500, "transient_5xx": 2},
+        {"image_id": "r2", "bytes": None, "w": 32, "h": 32, "fmt": "ppm",
+         "caption": "", "phash": 0,
+         "url": "https://rt.test/solid", "status": 200, "transient_5xx": None},
+        {"image_id": "r3", "bytes": None, "w": 32, "h": 32, "fmt": "ppm",
+         "caption": "", "phash": 0,
+         "url": "https://rt.test/deep", "status": 200, "transient_5xx": None},
+    ]
+    cdf = spark.createDataFrame(pd.DataFrame(rows))
+    cfg = dict(same_path_prefix=False, max_attempts=3)
+    full = crawl(spark, cdf, "https://rt.test/", CrawlConfig(**cfg))
+    expect = sorted((r["url"], r["depth"], r["ok"]) for r in full.results.collect())
+
+    ck = str(tmp_path / "rck")
+    partial = crawl(spark, cdf, "https://rt.test/", CrawlConfig(
+        **cfg, checkpoint_dir=ck, max_rounds=2))  # killed with a retry pending
+    resumed = crawl(spark, cdf, "https://rt.test/", CrawlConfig(
+        **cfg, checkpoint_dir=ck), resume=True)
+    got = sorted((r["url"], r["depth"], r["ok"]) for r in resumed.results.collect())
+    assert got == expect
+    assert ("https://rt.test/flaky", 1, True) in got  # recovered after resume

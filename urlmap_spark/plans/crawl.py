@@ -99,6 +99,11 @@ class CrawlConfig:
     default_quota: int | None = None
     global_cap: int | None = None            # per-round global rate cap
     checkpoint_dir: str | None = None        # None = in-memory (tests)
+    frontier_host_buckets: int = 16          # host-hash partitioning of the
+                                             # CHECKPOINTED frontier (north_rule:
+                                             # frontier partitioned by host-hash;
+                                             # per-host maintenance reads prune
+                                             # bucket dirs at scan time)
     max_rounds: int = 10_000
     frontier_partitions: int | None = None
     extract_partitions: int | None = None    # UDF-stage fan-out (default: cores)
@@ -219,7 +224,8 @@ def crawl(
 
         if resume and catalog is not None and catalog.last_round() is not None:
             last = catalog.last_round()
-            frontier = catalog.read(spark, last, "next_frontier")
+            # drop is a no-op on pre-bucketing checkpoints (no _hb column)
+            frontier = catalog.read(spark, last, "next_frontier").drop("_hb")
             seen = catalog.read_union(spark, "seen_delta", upto=last).select("url")
             if seeds:
                 seen = seen.unionByName(
@@ -559,17 +565,27 @@ def crawl(
                     F.expr("try_parse_url(url, 'HOST')").alias("host")
                 ).agg(F.count("*").alias("n"), F.min("order").alias("min_order"),
                       F.max("order").alias("max_order"))
+                # bucket the persisted frontier by host-hash UNLESS it is
+                # empty — a 0-row partitionBy write leaves no data files
+                # and the re-read below could not infer a schema
+                bucket_nf = (n_new + n_deferred + n_retry) > 0
                 tables = {
                     "results": results_r,
-                    "next_frontier": next_frontier,
+                    "next_frontier": next_frontier.withColumn(
+                        "_hb",
+                        F.pmod(F.xxhash64(F.expr("try_parse_url(url, 'HOST')")),
+                               F.lit(cfg.frontier_host_buckets)).cast("int"))
+                    if bucket_nf else next_frontier,
                     "seen_delta": new.select("url"),
                     "lineage": lineage,
                 }
                 if cfg.bloom_seen:
                     tables["seen_filters"] = filters
-                catalog.commit_round(round_idx, tables, m)
+                catalog.commit_round(round_idx, tables, m,
+                                     partition_by={"next_frontier": ["_hb"]}
+                                     if bucket_nf else None)
                 # re-read from storage: snapshot-isolated resume point
-                frontier = catalog.read(spark, round_idx, "next_frontier")
+                frontier = catalog.read(spark, round_idx, "next_frontier").drop("_hb")
                 seen_parts.append(catalog.read(spark, round_idx, "seen_delta"))
             else:
                 results_parts.append(results_r)

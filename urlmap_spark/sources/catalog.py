@@ -45,15 +45,23 @@ class RoundCatalog:
         rs = self.committed_rounds()
         return rs[-1] if rs else None
 
-    def commit_round(self, r: int, tables: dict[str, DataFrame], metrics: dict) -> None:
+    def commit_round(self, r: int, tables: dict[str, DataFrame], metrics: dict,
+                     partition_by: dict[str, list[str]] | None = None) -> None:
         """Write all tables + metrics, then the commit marker (atomic-ish:
-        a reader only trusts rounds with the marker)."""
+        a reader only trusts rounds with the marker). partition_by maps a
+        table name to its on-disk partition columns (e.g. the frontier's
+        host-hash bucket — north_rule: a frontier partitioned by
+        host-hash, so per-host maintenance reads prune at scan time)."""
         rdir = self._rdir(r)
         if os.path.exists(rdir):  # uncommitted leftover from a crash
             shutil.rmtree(rdir)
         os.makedirs(rdir)
         for name, df in tables.items():
-            df.write.mode("overwrite").parquet(os.path.join(rdir, name))
+            w = df.write.mode("overwrite")
+            cols = (partition_by or {}).get(name)
+            if cols:
+                w = w.partitionBy(*cols)
+            w.parquet(os.path.join(rdir, name))
         tmp = os.path.join(rdir, ".metrics.tmp")
         with open(tmp, "w") as f:
             json.dump(metrics, f)
