@@ -105,3 +105,25 @@ def test_retry_with_politeness_and_depth_limit(spark):
     res = {r["url"]: r for r in run.results.collect()}
     assert len(res) == 5
     assert res["https://r.test/p0"]["ok"] is True  # recovered on attempt 2
+
+
+def test_retry_composes_with_bloom_seen(spark):
+    """Retry re-enqueues bypass the seen anti-join by construction (a
+    retry IS a seen URL being re-fetched) — with the bloom prefilter on,
+    the recovered page and its outlinks must still come out identical."""
+    rows = [
+        ("https://r.test/", 'href="/flaky"', 200, None),
+        ("https://r.test/flaky", 'href="/deep"', 500, 2),
+        ("https://r.test/deep", "", 200, None),
+    ]
+    cdf = _corpus(spark, rows)
+    plain = crawl(spark, cdf, "https://r.test/",
+                  CrawlConfig(same_path_prefix=False, max_attempts=3))
+    bloom = crawl(spark, cdf, "https://r.test/",
+                  CrawlConfig(same_path_prefix=False, max_attempts=3,
+                              bloom_seen=True, bloom_buckets=8))
+    a = sorted((r["url"], r["depth"], r["order"], r["ok"], r["round"])
+               for r in plain.results.collect())
+    b = sorted((r["url"], r["depth"], r["order"], r["ok"], r["round"])
+               for r in bloom.results.collect())
+    assert a == b
