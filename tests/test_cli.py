@@ -185,3 +185,15 @@ def test_cli_concurrent_and_progress_flags(spark, tmp_path, capsys):
     assert any(l.startswith("round ") for l in err)
     summary = json.loads(err[-1])
     assert summary["processed"] == 7
+
+
+def test_cli_invalid_seed_clean_error(spark, tmp_path, capsys):
+    """An invalid seed exits 2 with a diagnostic, never a traceback
+    (reference cobra error path; e2e_test.go error handling)."""
+    corpus_p = str(tmp_path / "e.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main(["notaurl", "--corpus", corpus_p], _spark=spark)
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "notaurl" in err
+    assert "Traceback" not in err

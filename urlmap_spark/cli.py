@@ -186,8 +186,16 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         progress=_progress if (args.progress or args.verbose
                                or args.log_format == "json") else None,
     )
-    run = crawl(spark, corpus, seeds if len(seeds) > 1 else seeds[0], cfg,
-                resume=args.resume)
+    try:
+        run = crawl(spark, corpus, seeds if len(seeds) > 1 else seeds[0], cfg,
+                    resume=args.resume)
+    except ValueError as e:
+        # invalid seed etc.: a clean diagnostic + nonzero exit, like the
+        # reference binary's cobra error path — never a traceback
+        print(f"error: {e}", file=sys.stderr)
+        if _spark is None:
+            spark.stop()
+        return 2
     urls = unique_sorted_urls(run.results)
 
     if args.output:
