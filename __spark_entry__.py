@@ -9,8 +9,13 @@ with depth — the reference crawler's text-output semantics
 ``queries()`` / ``oracle_sql()`` — one entry per operator from
 SURVEY.md §2 plus the training-data-pipeline operators, each expressed
 over the driver's TPC-H-ish tables with a value-matching DuckDB oracle.
-Non-SQL-expressible ops (MinHash-LSH, SimHash, LSH/IVF ANN, image
-decode) have no oracle entry -> rows-only check. The crawl itself is
+Non-SQL-expressible ops (xxhash64 MinHash-LSH / SimHash, LSH/IVF ANN,
+image decode) have no oracle entry -> rows-only check — but their
+MECHANISMS are value-checked by twins: ``dedup-minhash-arith`` /
+``dedup-simhash-arith`` run the same pipelines under an ANSI-SQL-
+recomputable polynomial hash family, and ``audio-chunk-features`` /
+``video-frame-sample`` value-check the binary multimodal round-trip
+against closed-form regeneration. The crawl itself is
 value-checked two ways: ``crawl-reach`` (url/depth/status/ok vs a
 recursive-CTE BFS — DuckDB reproduces reachability, first-discovery
 depths and fetch outcomes) plus the rows-only ``crawl-bfs`` whose FIFO
@@ -626,6 +631,39 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=7)
 
 
+def _q_dedup_minhash_arith(spark, sf_dir):
+    """The REAL banded-LSH minhash pipeline (signatures -> band explode
+    -> bucket join -> pair dedup -> signature-estimated jaccard) run
+    with the oracle-checkable arithmetic hash family: shingle hash and
+    permutations all stay < 2^63 so DuckDB recomputes every signature
+    value, candidate pair and estimate EXACTLY — the mechanism itself
+    is value-checked, not just its row count."""
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import (
+        ARITH_MOD_31, arith_hash_expr, minhash_lsh_pairs)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.2, seed=42,
+        hash_expr=lambda s: arith_hash_expr(s, ARITH_MOD_31),
+        perm_mod=ARITH_MOD_31, exact_bands=True)
+
+
+def _q_dedup_simhash_arith(spark, sf_dir):
+    """The REAL pigeonhole-banded simhash pipeline with the arithmetic
+    token hash (mod 2^57): DuckDB recomputes every token hash, every
+    simhash bit, and the exact hamming-<=k pair set (banding is exact,
+    so the output IS that set)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import (
+        ARITH_MOD_57, arith_hash_expr, simhash_pairs)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return simhash_pairs(
+        docs, max_hamming=3,
+        hash_expr=lambda t: arith_hash_expr(t, ARITH_MOD_57))
+
+
 def _q_embed_cosine_topk(spark, sf_dir):
     from urlmap_spark.operators.similarity import brute_force_topk
 
@@ -715,6 +753,30 @@ def _q_image_decode_meta(spark, sf_dir):
         .orderBy("image_id")
 
 
+def _q_audio_chunk_features(spark, sf_dir):
+    """Full binary round-trip value check: synthesize a deterministic
+    PCM16 container per doc, decode it back, window into 512-sample
+    chunks, emit exact-integer features — DuckDB regenerates the same
+    samples from the closed form and aggregates identically, so the
+    container pack/parse plumbing itself is oracle-verified."""
+    _ship_package(spark)
+    from urlmap_spark.operators.av import audio_chunk_features, synth_audio
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return audio_chunk_features(synth_audio(docs), chunk=512)
+
+
+def _q_video_frame_sample(spark, sf_dir):
+    """Frame-sampling stage over a deterministic gray-frame container:
+    every 3rd frame's exact-integer luminance features, regenerated
+    pixel-for-pixel by the oracle from the closed form."""
+    _ship_package(spark)
+    from urlmap_spark.operators.av import frame_sample, synth_video
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return frame_sample(synth_video(docs), every=3)
+
+
 def _q_crawl_bfs(spark, sf_dir):
     _ship_package(spark)
     from urlmap_spark.plans.crawl import CrawlConfig, crawl
@@ -780,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed-neardup-blocked": _q_embed_neardup_blocked,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
+        "dedup-minhash-arith": _q_dedup_minhash_arith,
+        "dedup-simhash-arith": _q_dedup_simhash_arith,
         "embed-cosine-topk": _q_embed_cosine_topk,
         "embed-ann-lsh": _q_embed_ann_lsh,
         "embed-ann-ivf": _q_embed_ann_ivf,
@@ -790,9 +854,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token-count": _q_token_count,
         "doc-fingerprint": _q_doc_fingerprint,
         "image-decode-meta": _q_image_decode_meta,
+        "audio-chunk-features": _q_audio_chunk_features,
+        "video-frame-sample": _q_video_frame_sample,
         "crawl-bfs": _q_crawl_bfs,
         "crawl-reach": _q_crawl_reach,
     }
+
+
+def _minhash_param_values() -> str:
+    """The EXACT permutation parameters the dedup-minhash-arith query
+    uses (same rng stream as the operator), inlined as a SQL VALUES
+    list so the oracle's signatures are bit-for-bit the operator's."""
+    from urlmap_spark.operators.dedup import ARITH_MOD_31, _perm_params
+
+    a, b = _perm_params(32, 42, ARITH_MOD_31)
+    return ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(32))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1170,6 +1246,98 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS double)
                         / len(list_distinct(sa.shs || sb.shs)), 6) >= 0.2
         """,
+        "dedup-minhash-arith": f"""
+            -- the arith-hash minhash mechanism, recomputed from scratch:
+            -- shingles -> polynomial char hash -> 32 permuted mins ->
+            -- 8 bands of 4 -> pairs agreeing on a full band -> estimate
+            WITH params(j, pa, pb) AS (VALUES {_minhash_param_values()}),
+            toks AS (
+              SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+              FROM documents WHERE doc_id < 500),
+            sh AS (
+              SELECT id, list_distinct(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                       ELSE list_transform(generate_series(1, len(l) - 2),
+                                           i -> array_to_string(l[i:i+2], ' ')) END) AS shs
+              FROM toks),
+            hx AS (
+              SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                       (a, x) -> (a * 31 + x) % 2147483647) AS x
+              FROM (SELECT id, unnest(shs) AS s FROM sh)),
+            sig AS (
+              SELECT id, j, min((pa * x + pb) % 2147483647) AS v
+              FROM hx CROSS JOIN params GROUP BY id, j),
+            bandsig AS (
+              SELECT id, j // 4 AS band, list(v ORDER BY j) AS bv
+              FROM sig GROUP BY id, j // 4),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM bandsig a JOIN bandsig b
+                ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+            SELECT id_a, id_b,
+                   round(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
+            FROM cand JOIN sig sa ON sa.id = id_a
+                      JOIN sig sb ON sb.id = id_b AND sb.j = sa.j
+            GROUP BY id_a, id_b
+            HAVING round(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 32.0, 6) >= 0.2
+        """,
+        "dedup-simhash-arith": """
+            -- arith-hash simhash: token poly-hash mod 2^57, per-bit
+            -- sign-sums, then the exact hamming<=3 pair set (the Spark
+            -- side's pigeonhole banding is exact, so outputs coincide)
+            WITH toks AS (
+              SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+              FROM documents WHERE doc_id < 300),
+            th AS (
+              SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+                     (a, x) -> (a * 31 + x) % 144115188075855872) AS h
+              FROM (SELECT id, unnest(l) AS t FROM toks)),
+            bits AS (
+              SELECT id, b, sum((h >> b) & 1) AS cnt, count(*) AS n
+              FROM th CROSS JOIN (SELECT unnest(range(57)) AS b) bb
+              GROUP BY id, b),
+            sim AS (
+              SELECT id, CAST(sum(CASE WHEN 2 * cnt > n
+                                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+              FROM bits GROUP BY id)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM sim a JOIN sim b ON a.id < b.id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "audio-chunk-features": """
+            -- regenerate the PCM stream from the closed form and window
+            -- it exactly as audio_chunk_features does after its binary
+            -- round-trip; all features are exact integers
+            WITH d AS (
+              SELECT doc_id, 1000 + (doc_id % 7) * 250 AS nsamp
+              FROM documents WHERE doc_id < 300),
+            s AS (
+              SELECT doc_id, i, ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS v
+              FROM (SELECT doc_id, unnest(range(nsamp)) AS i FROM d))
+            SELECT doc_id, CAST(i // 512 AS INTEGER) AS chunk_idx,
+                   CAST(count(*) AS INTEGER) AS n,
+                   CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(v)) AS INTEGER) AS peak
+            FROM s GROUP BY doc_id, i // 512
+        """,
+        "video-frame-sample": """
+            -- regenerate every sampled frame's pixels from the closed
+            -- form and sum them, matching frame_sample's decode path
+            WITH d AS (
+              SELECT doc_id, 16 + (doc_id % 5) * 8 AS w, 12 + (doc_id % 3) * 8 AS h,
+                     8 + (doc_id % 5) AS nf
+              FROM documents WHERE doc_id < 300),
+            f AS (SELECT doc_id, w, h, unnest(range(0, nf, 3)) AS fi FROM d),
+            fy AS (SELECT doc_id, w, h, fi, unnest(range(h)) AS y FROM f),
+            px AS (SELECT doc_id, w, h, fi, y, unnest(range(w)) AS x FROM fy)
+            SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+                   CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+                   CAST(w * h AS INTEGER) AS n_px,
+                   CAST(sum((doc_id * 31 + fi * 7 + y * 3 + x) % 256) AS BIGINT) AS sum_lum
+            FROM px GROUP BY doc_id, fi, w, h
+        """,
         "embed-neardup-blocked": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1279,5 +1447,8 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
         # embed-ann-lsh, embed-ann-ivf, image-decode-meta, crawl-bfs
         # (crawl-bfs keeps `order`, which only the pytest oracle-BFS can
-        # pin; crawl-reach above value-checks the rest of the crawl)
+        # pin; crawl-reach above value-checks the rest of the crawl;
+        # dedup-minhash-arith / dedup-simhash-arith value-check the
+        # xxhash64 entries' exact mechanism under the arithmetic hash
+        # family, so only the hash constants themselves stay unchecked)
     }

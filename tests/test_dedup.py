@@ -207,3 +207,106 @@ def test_chunked_signatures_match_unchunked(spark, docs):
                       for r in D.simhash_column(docs, pad_budget=8).collect())
     assert tiny_sig == base_sig
     assert tiny_sim == base_sim
+
+
+# --- oracle-checkable arithmetic hash family ---------------------------------
+
+
+def _py_arith_hash(s: str, mod: int) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % mod
+    return h
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) <= n:
+        return list(dict.fromkeys([" ".join(toks[:n])]))
+    out = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return list(dict.fromkeys(out))
+
+
+def test_arith_hash_expr_matches_python(spark):
+    rows = [(0, "abc"), (1, "key agg"), (2, ""), (3, "the quick brown fox")]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {r["i"]: r["h"] for r in df.select(
+        "i", D.arith_hash_expr(F.col("s"), D.ARITH_MOD_31).alias("h")).collect()}
+    for i, s in rows:
+        assert got[i] == _py_arith_hash(s, D.ARITH_MOD_31), s
+
+
+def test_minhash_arith_signatures_match_reference(spark, docs):
+    """The arith-hash variant's signature matrix equals an independent
+    pure-Python recomputation — every value, not a sample (this is the
+    invariant the DuckDB oracle of dedup-minhash-arith states)."""
+    k, seed = 16, 42
+    a, b = D._perm_params(k, seed, D.ARITH_MOD_31)
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(
+        docs, num_hashes=k, n=3, seed=seed,
+        hash_expr=lambda s: D.arith_hash_expr(s, D.ARITH_MOD_31),
+        perm_mod=D.ARITH_MOD_31).collect()}
+    for did, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        hs = [_py_arith_hash(s, D.ARITH_MOD_31) for s in _py_shingles(text)]
+        want = [min((int(a[j]) * x + int(b[j])) % D.ARITH_MOD_31 for x in hs)
+                for j in range(k)]
+        assert sigs[did] == want, did
+
+
+def test_minhash_arith_exact_bands_pairs(spark, docs):
+    """exact_bands pair set == 'agrees on some full band', recomputed
+    from the signatures themselves."""
+    k, bands, seed = 16, 4, 42
+    rows = k // bands
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(
+        docs, num_hashes=k, n=3, seed=seed,
+        hash_expr=lambda s: D.arith_hash_expr(s, D.ARITH_MOD_31),
+        perm_mod=D.ARITH_MOD_31).collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1:]:
+            if any(sigs[ia][bi * rows:(bi + 1) * rows] == sigs[ib][bi * rows:(bi + 1) * rows]
+                   for bi in range(bands)):
+                want.add((ia, ib))
+    got = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(
+        docs, num_hashes=k, bands=bands, threshold=0.0, seed=seed,
+        hash_expr=lambda s: D.arith_hash_expr(s, D.ARITH_MOD_31),
+        perm_mod=D.ARITH_MOD_31, exact_bands=True).collect()}
+    assert got == want
+
+
+def test_simhash_arith_matches_reference_and_bruteforce(spark, docs):
+    """Arith simhash values match a pure-Python recomputation, and the
+    banded pair set equals brute-force hamming<=k over those values."""
+    mod = D.ARITH_MOD_57
+    sh = {r["id"]: r["simhash"] for r in D.simhash_column(
+        docs, hash_expr=lambda t: D.arith_hash_expr(t, mod)).collect()}
+    for did, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        toks = [t for t in text.lower().split() if t]
+        hs = [_py_arith_hash(t, mod) for t in toks]
+        want = 0
+        for bit in range(64):
+            cnt = sum((h >> bit) & 1 for h in hs)
+            if 2 * cnt - len(hs) > 0:
+                want |= 1 << bit
+        assert sh[did] == want, did
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in D.simhash_pairs(
+        docs, max_hamming=3,
+        hash_expr=lambda t: D.arith_hash_expr(t, mod)).collect()}
+    ids = sorted(sh)
+    want_pairs = {(a, b, bin(sh[a] ^ sh[b]).count("1"))
+                  for i, a in enumerate(ids) for b in ids[i + 1:]
+                  if bin(sh[a] ^ sh[b]).count("1") <= 3}
+    assert got == want_pairs
+
+
+def test_default_xxhash_path_unchanged_by_parameterization(spark, docs):
+    """Guard: adding hash_expr/perm_mod must not perturb the default
+    minhash signatures (rng stream and modulus identical)."""
+    s1 = {r["id"]: r["sig"] for r in
+          D.minhash_signatures(docs, num_hashes=8, seed=7).collect()}
+    s2 = {r["id"]: r["sig"] for r in
+          D.minhash_signatures(docs, num_hashes=8, seed=7,
+                               hash_expr=None, perm_mod=D._MERSENNE).collect()}
+    assert s1 == s2

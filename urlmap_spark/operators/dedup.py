@@ -122,6 +122,29 @@ def ngram_jaccard_pairs(
 
 _MERSENNE = (1 << 61) - 1
 
+# moduli for the ORACLE-CHECKABLE arithmetic hash family (see
+# arith_hash_expr): chosen so every intermediate product stays < 2^63
+# and therefore computes identically in numpy int64, Spark long and
+# ANSI-SQL BIGINT arithmetic — no wrap-around emulation needed anywhere.
+ARITH_MOD_31 = (1 << 31) - 1   # minhash shingle hash + perm modulus:
+                               # (2^31-2)^2 + 2^31 < 2^63
+ARITH_MOD_57 = 1 << 57         # simhash token hash: (2^57-1)*31 + 127 < 2^63
+
+
+def arith_hash_expr(col, mod: int = ARITH_MOD_31):
+    """Polynomial rolling hash over characters, h = (h*31 + code) % mod,
+    as a native Spark column expression. The point of this family is
+    that an ANSI-SQL engine (the DuckDB oracle) can recompute it
+    exactly — `list_reduce(list_prepend(0, list_transform(
+    string_split(s,''), c -> ascii(c))), (a,x) -> (a*31+x) % mod)` —
+    which makes the ENTIRE minhash/simhash mechanism (signatures,
+    banding, candidate pairs, estimates) value-checkable end to end.
+    xxhash64 stays the default at scale (stronger mixing, one codegen'd
+    call per element); this is the verification twin."""
+    return F.aggregate(
+        F.split(col, ""), F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(mod))
+
 _PAD_BUDGET = 1 << 24  # elements per padded chunk (128 MiB of int64)
 
 
@@ -156,10 +179,11 @@ def _padded_chunks(col: np.ndarray, budget: int | None = None):
         start = end
 
 
-def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def _perm_params(num_hashes: int, seed: int,
+                 mod: int = _MERSENNE) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a = rng.integers(1, mod, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, mod, size=num_hashes, dtype=np.int64)
     return a, b
 
 
@@ -167,23 +191,32 @@ def minhash_signatures(
     df: DataFrame, num_hashes: int = 64, n: int = 3, seed: int = 42,
     id_col: str = "doc_id", text_col: str = "text",
     pad_budget: int | None = None,
+    hash_expr=None, perm_mod: int = _MERSENNE,
 ) -> DataFrame:
     """(id, sig: array<long>) — shingling AND shingle hashing stay
     JVM-side (shingles_expr -> per-element xxhash64, whole-stage
     codegen); Python receives only (id, array<int64>) and performs one
     (num_hashes x num_shingles) broadcasted min per row. No document
     text ever crosses the Arrow boundary and no per-row Python hashing
-    remains."""
-    a, b = _perm_params(num_hashes, seed)
+    remains.
+
+    hash_expr/perm_mod — the oracle-checkable variant: pass
+    `hash_expr=arith_hash_expr, perm_mod=ARITH_MOD_31` and every value
+    in the signature matrix is exactly reproducible in ANSI SQL (the
+    arith hash keeps all products < 2^63, so numpy int64 never wraps
+    and positive-operand `%` agrees across engines). Default stays
+    xxhash64 + the 2^61-1 Mersenne modulus (the scale path)."""
+    a, b = _perm_params(num_hashes, seed, perm_mod)
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("sig", T.ArrayType(T.LongType())),
     ])
+    sh_hash = hash_expr or (lambda s: F.xxhash64(s))
     # null text -> '' (one empty shingle) instead of a null shingle array:
     # keeps the Python side total on corpora with missing documents
     hashed = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))).select(
         F.col(id_col).alias("id"),
-        F.transform(shingles_expr(text_col, n), lambda s: F.xxhash64(s)).alias("hs"),
+        F.transform(shingles_expr(text_col, n), lambda s: sh_hash(s)).alias("hs"),
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,7 +237,7 @@ def minhash_signatures(
             for start, end, H, lens in _padded_chunks(pdf["hs"].to_numpy(), pad_budget):
                 pad = np.arange(H.shape[1], dtype=np.int64)[None, :] >= lens[:, None]
                 for j in range(k):
-                    mj = (a[j] * H + b[j]) % _MERSENNE
+                    mj = (a[j] * H + b[j]) % perm_mod
                     mj[pad] = _MERSENNE
                     sig[start:end, j] = mj.min(axis=1)
             yield pd.DataFrame({"id": pdf["id"].values, "sig": list(sig)})
@@ -216,6 +249,7 @@ def minhash_lsh_pairs(
     df: DataFrame, num_hashes: int = 64, bands: int = 16, n: int = 3,
     threshold: float = 0.5, seed: int = 42,
     id_col: str = "doc_id", text_col: str = "text",
+    hash_expr=None, perm_mod: int = _MERSENNE, exact_bands: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-estimated Jaccard.
 
@@ -223,15 +257,26 @@ def minhash_lsh_pairs(
     within-bucket pairs -> dedup pairs -> estimate jaccard as the
     fraction of agreeing signature positions. Returns
     (id_a, id_b, est_jaccard >= threshold).
+
+    exact_bands — join on the band's VALUE (array<long> key) instead of
+    its xxhash64 bucket: removes the (negligible but nonzero) 64-bit
+    bucket-collision false-candidate path so the pair set is exactly
+    "agrees on some full band" — the property the SQL oracle states.
+    Default keeps 8-byte hashed keys (smaller shuffle, the scale path).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, seed, id_col, text_col)
-    banded = sigs.select(
-        "id", "sig",
-        F.posexplode(F.array(*[
+    sigs = minhash_signatures(df, num_hashes, n, seed, id_col, text_col,
+                              hash_expr=hash_expr, perm_mod=perm_mod)
+    if exact_bands:
+        band_keys = [F.slice("sig", bi * rows + 1, rows) for bi in range(bands)]
+    else:
+        band_keys = [
             F.xxhash64(F.lit(bi), F.slice("sig", bi * rows + 1, rows).cast("string"))
             for bi in range(bands)
-        ])).alias("band", "bucket"),
+        ]
+    banded = sigs.select(
+        "id", "sig",
+        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
     )
     cand = (
         banded.alias("a")
@@ -254,12 +299,19 @@ def minhash_lsh_pairs(
 
 def simhash_column(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    pad_budget: int | None = None,
+    pad_budget: int | None = None, hash_expr=None,
 ) -> DataFrame:
     """(id, simhash long): sign-sum of token-hash bit vectors. Token
     split + hashing stay JVM-side (xxhash64 per distinct-preserving
     token); Python does one (n_tokens x 64) bit unpack + sign-sum per
-    row — no strings cross the Arrow boundary."""
+    row — no strings cross the Arrow boundary.
+
+    hash_expr — the oracle-checkable variant: pass
+    `lambda t: arith_hash_expr(t, ARITH_MOD_57)` and every token hash
+    (hence every simhash bit) is exactly reproducible in ANSI SQL;
+    hash values stay < 2^57 so bits 57..63 of the result are always 0
+    and all bit extraction is plain nonnegative arithmetic in both
+    engines. Default stays xxhash64 (full 64-bit mixing, scale path)."""
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("simhash", T.LongType()),
@@ -270,9 +322,10 @@ def simhash_column(
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: t != "")
+    tok_hash = hash_expr or (lambda t: F.xxhash64(t))
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform(toks, lambda t: tok_hash(t)).alias("hs"),
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -304,14 +357,18 @@ def simhash_column(
 def simhash_pairs(
     df: DataFrame, max_hamming: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    hash_expr=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     Candidate generation: split the 64-bit hash into (max_hamming+1)
     bands — any pair within the hamming ball agrees on >=1 full band
-    (pigeonhole), so the join is on band keys, never all-pairs."""
+    (pigeonhole), so the join is on band keys, never all-pairs. The
+    banding is EXACT (keys are the hash's own bits, no rehash), so the
+    output is precisely {pairs : hamming <= max_hamming} — which is
+    what the SQL oracle of the arith-hash variant states all-pairs."""
     nb = max_hamming + 1
     width = 64 // nb
-    sh = simhash_column(df, id_col, text_col)
+    sh = simhash_column(df, id_col, text_col, hash_expr=hash_expr)
     banded = sh.select(
         "id", "simhash",
         F.posexplode(F.array(*[
