@@ -121,6 +121,7 @@ def test_retry_composes_with_bloom_seen(spark):
                   CrawlConfig(same_path_prefix=False, max_attempts=3))
     bloom = crawl(spark, cdf, "https://r.test/",
                   CrawlConfig(same_path_prefix=False, max_attempts=3,
+                              broadcast_seen_max_urls=0,
                               bloom_seen=True, bloom_buckets=8))
     a = sorted((r["url"], r["depth"], r["order"], r["ok"], r["round"])
                for r in plain.results.collect())

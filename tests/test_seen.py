@@ -71,13 +71,38 @@ def test_bloom_crawl_equals_plain_crawl(spark):
     pdf = C.corpus_pandas(seed=7, n_hosts=3, total_pages=40, with_bytes=False)
     cdf = spark.createDataFrame(pdf)
     seed_url = "https://h0.example-7.test/"
+    # plain arm keeps the default broadcast-seen early anti-join; the
+    # bloom arm disables it (broadcast_seen_max_urls=0) so the in-crawl
+    # bloom-cogroup path is genuinely exercised — the equality therefore
+    # ALSO pins broadcast-path == bloom-path
     plain = crawl(spark, cdf, seed_url, CrawlConfig(max_depth=3, same_path_prefix=False))
     bloom = crawl(spark, cdf, seed_url, CrawlConfig(
-        max_depth=3, same_path_prefix=False,
+        max_depth=3, same_path_prefix=False, broadcast_seen_max_urls=0,
         bloom_seen=True, bloom_buckets=8, bloom_bits=1 << 16))
     a = [(r["url"], r["order"]) for r in plain.results.orderBy("order").collect()]
     b = [(r["url"], r["order"]) for r in bloom.results.orderBy("order").collect()]
     assert a == b
+
+
+def test_broadcast_seen_equals_shuffled_seen_crawl(spark):
+    """The broadcast-seen early anti-join (anti BEFORE first-wins dedup)
+    must yield the identical (url, depth, order) sequence as the
+    post-dedup shuffled anti-join — the anti-join filters whole
+    url-groups, so it commutes with the per-url min."""
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+    from urlmap_spark.sources import corpus as C
+
+    pdf = C.corpus_pandas(seed=11, n_hosts=4, total_pages=60, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed_url = "https://h0.example-11.test/"
+    bc = crawl(spark, cdf, seed_url,
+               CrawlConfig(max_depth=4, same_path_prefix=False))
+    sh = crawl(spark, cdf, seed_url,
+               CrawlConfig(max_depth=4, same_path_prefix=False,
+                           broadcast_seen_max_urls=0))
+    a = [(r["url"], r["depth"], r["order"]) for r in bc.results.orderBy("order").collect()]
+    b = [(r["url"], r["depth"], r["order"]) for r in sh.results.orderBy("order").collect()]
+    assert a == b and len(a) > 10
 
 
 def test_probe_is_distributed_no_driver_collect(spark):

@@ -113,6 +113,23 @@ class CrawlConfig:
                                              # front of the exact seen anti-join
     bloom_buckets: int = 32
     bloom_bits: int = 1 << 22                # 512 KiB per bucket at default
+    broadcast_seen_max_urls: int = 4_000_000  # while |seen| (known EXACTLY
+                                             # driver-side: it equals
+                                             # order_counter) is under this,
+                                             # the seen anti-join BROADCASTS
+                                             # seen and runs BEFORE the
+                                             # first-wins dedup shuffle —
+                                             # most outlinks of a converging
+                                             # crawl point at seen URLs, so
+                                             # they drop map-side and never
+                                             # enter a shuffle. Past the
+                                             # limit (the 10^10 regime) the
+                                             # plan reverts to dedup ->
+                                             # bloom-cogroup/shuffled anti-
+                                             # join. 0 disables. Exact either
+                                             # way: an anti-join filters
+                                             # whole url-groups, so it
+                                             # commutes with per-url min.
     progress: object | None = None           # per-round callback(metrics dict)
                                              # — the batch analog of the
                                              # reference's live progress ticker
@@ -496,11 +513,23 @@ def crawl(
             seen = seen_parts[0]
             for p in seen_parts[1:]:
                 seen = seen.unionByName(p)
-            deduped = first_wins(
-                links.select(F.col("outlink").alias("url"), "parent_order", "pos", "depth"),
-                "url", ["parent_order", "pos"],
-            )
-            new = seen_anti_join(deduped, seen, filters, bloom_cfg).localCheckpoint(eager=True)
+            cand = links.select(
+                F.col("outlink").alias("url"), "parent_order", "pos", "depth")
+            if 0 < order_counter <= cfg.broadcast_seen_max_urls:
+                # |seen| == order_counter (every enqueued URL, exactly), so
+                # this is an exact driver-side broadcast decision, not an
+                # estimate. Broadcasting seen lets the anti-join run map-
+                # side BEFORE the dedup shuffle: in a converging crawl most
+                # candidate links point at seen URLs and never reach an
+                # exchange. Catalyst can't make this call itself — seen is
+                # a union of checkpointed RDDs with no size stats.
+                cand = cand.join(F.broadcast(seen), "url", "left_anti")
+                new = first_wins(cand, "url", ["parent_order", "pos"]) \
+                    .localCheckpoint(eager=True)
+            else:
+                deduped = first_wins(cand, "url", ["parent_order", "pos"])
+                new = seen_anti_join(deduped, seen, filters, bloom_cfg) \
+                    .localCheckpoint(eager=True)
             tick("extract_dedup_ckpt")
 
             # --- assign global crawl order (FIFO enqueue order); the ordering
