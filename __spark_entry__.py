@@ -753,6 +753,20 @@ def _q_image_decode_meta(spark, sf_dir):
         .orderBy("image_id")
 
 
+def _q_image_phash_arith(spark, sf_dir):
+    """Value check of the REAL image codec + phash pipeline (the
+    verify_payload per-row invariant mechanism): closed-form ramp
+    pixels -> encode_ppm -> decode_meta's actual decode + integer-exact
+    block phash; DuckDB regenerates every pixel and recomputes the
+    phash bit-for-bit (cross-multiplied block sums, no floats)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.multimodal import decode_meta, synth_ramp_images
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_meta(synth_ramp_images(docs)) \
+        .select("image_id", "fmt", "w", "h", "phash", "decode_ok")
+
+
 def _q_audio_chunk_features(spark, sf_dir):
     """Full binary round-trip value check: synthesize a deterministic
     PCM16 container per doc, decode it back, window into 512-sample
@@ -854,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token-count": _q_token_count,
         "doc-fingerprint": _q_doc_fingerprint,
         "image-decode-meta": _q_image_decode_meta,
+        "image-phash-arith": _q_image_phash_arith,
         "audio-chunk-features": _q_audio_chunk_features,
         "video-frame-sample": _q_video_frame_sample,
         "crawl-bfs": _q_crawl_bfs,
@@ -1305,6 +1320,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
             FROM sim a JOIN sim b ON a.id < b.id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "image-phash-arith": """
+            -- regenerate every ramp pixel from the closed form and
+            -- recompute the integer-exact 8x8 block average-hash that
+            -- decode_meta recomputes after its real PPM decode: bit =
+            -- block_sum * n_px > total_sum * block_px (cross-multiplied,
+            -- no floats), packed MSB-first, bit 63 = two's complement
+            WITH d AS (
+              SELECT doc_id, 16 + (doc_id % 4) * 8 AS w, 8 + (doc_id % 3) * 8 AS h
+              FROM documents WHERE doc_id < 200),
+            py AS (SELECT doc_id, w, h, unnest(range(h)) AS y FROM d),
+            px AS (SELECT doc_id, w, h, y, unnest(range(w)) AS x FROM py),
+            ps AS (SELECT doc_id, w, h, y, x,
+                     (doc_id*7 + y*3 + x) % 256 + (doc_id*7 + y*3 + x + 1) % 256
+                     + (doc_id*7 + y*3 + x + 2) % 256 AS s
+                   FROM px),
+            blk AS (SELECT doc_id, w, h, y // (h // 8) AS bi, x // (w // 8) AS bj,
+                           sum(s) AS bs
+                    FROM ps GROUP BY doc_id, w, h, y // (h // 8), x // (w // 8)),
+            tot AS (SELECT doc_id, sum(s) AS ts FROM ps GROUP BY doc_id),
+            ph AS (SELECT b.doc_id,
+                     CAST(sum(CASE
+                       WHEN b.bs * (w * h) > t.ts * ((h // 8) * (w // 8))
+                            AND bi = 0 AND bj = 0 THEN -9223372036854775808
+                       WHEN b.bs * (w * h) > t.ts * ((h // 8) * (w // 8))
+                            THEN (CAST(1 AS BIGINT) << (63 - (bi * 8 + bj)))
+                       ELSE 0 END) AS BIGINT) AS phash
+                   FROM blk b JOIN tot t ON b.doc_id = t.doc_id
+                   GROUP BY b.doc_id)
+            SELECT 'i' || d.doc_id AS image_id, 'ppm' AS fmt,
+                   CAST(d.w AS INTEGER) AS w, CAST(d.h AS INTEGER) AS h,
+                   ph.phash, TRUE AS decode_ok
+            FROM d JOIN ph ON d.doc_id = ph.doc_id
         """,
         "audio-chunk-features": """
             -- regenerate the PCM stream from the closed form and window

@@ -69,3 +69,25 @@ def test_payload_udf_accepts_intact_bytes(spark, bytes_corpus):
     out = df.select(payload_ok_udf(
         F.col("bytes"), F.col("fmt"), F.col("phash")).alias("ok")).collect()
     assert all(r["ok"] for r in out)
+
+
+def test_ramp_images_decode_to_closed_form(spark):
+    """synth_ramp_images -> the REAL decode path reproduces the
+    closed-form pixels and the integer-exact phash (the invariant the
+    image-phash-arith oracle states in SQL)."""
+    import numpy as np
+
+    from urlmap_spark.operators.multimodal import (
+        decode_meta, ramp_dims_of, ramp_pixels_of, synth_ramp_images)
+    from urlmap_spark.sources.corpus import phash_of
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    meta = {r["image_id"]: r for r in decode_meta(synth_ramp_images(ids)).collect()}
+    assert len(meta) == 20
+    for did in range(20):
+        m = meta[f"i{did}"]
+        w, h = ramp_dims_of(did)
+        assert m["decode_ok"] and (m["w"], m["h"]) == (w, h)
+        arr = ramp_pixels_of(did)
+        assert m["phash"] == phash_of(arr)
+        assert abs(m["mean_lum"] - arr.mean()) < 1e-9

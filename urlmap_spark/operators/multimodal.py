@@ -57,6 +57,52 @@ def decode_meta(corpus: DataFrame) -> DataFrame:
     return corpus.select("image_id", "bytes", "fmt").mapInPandas(gen, DECODE_META_SCHEMA)
 
 
+RAMP_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+])
+
+
+def ramp_dims_of(doc_id: int) -> tuple[int, int]:
+    """(w, h), both multiples of 8 (phash_of's equal-block condition),
+    varied across rows so no constant-shape assumption can hide."""
+    return 16 + (doc_id % 4) * 8, 8 + (doc_id % 3) * 8
+
+
+def ramp_pixels_of(doc_id: int) -> "np.ndarray":
+    """(h, w, 3) uint8, pixel[y,x,c] = (doc_id*7 + y*3 + x + c) % 256 —
+    CLOSED-FORM arithmetic, so an ANSI-SQL oracle can regenerate every
+    pixel and recompute the integer-exact phash. The value-check twin
+    of the rng-based corpus images (pixels_of), feeding the SAME real
+    PPM codec + phash pipeline that payload verification uses."""
+    w, h = ramp_dims_of(doc_id)
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((doc_id * 7 + y * 3 + x + c) % 256).astype(np.uint8)
+
+
+def synth_ramp_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic closed-form PPM images, one per input row —
+    image_id = 'i{doc_id}'. Consumed by decode_meta/resize unchanged."""
+    from pyspark.sql import functions as F
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                w, h = ramp_dims_of(did)
+                rows.append((f"i{did}", C.encode_ppm(ramp_pixels_of(did)),
+                             "ppm", w, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in RAMP_SCHEMA.fields])
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(gen, RAMP_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
     T.StructField("bytes", T.BinaryType()),
