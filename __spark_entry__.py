@@ -753,6 +753,35 @@ def _q_image_decode_meta(spark, sf_dir):
         .orderBy("image_id")
 
 
+def _q_doc_winnow_arith(spark, sf_dir):
+    """Winnowing fingerprints (MOSS: k-gram rolling hash -> window
+    minima -> distinct) under the arith hash family — DuckDB recomputes
+    every gram hash, window minimum and the distinct fingerprint set."""
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import (
+        ARITH_MOD_31, arith_hash_expr, winnow_fingerprints)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_fingerprints(
+        docs, k=8, window=4,
+        hash_expr=lambda g: arith_hash_expr(g, ARITH_MOD_31)) \
+        .select(F.col("id").alias("doc_id"), "fp")
+
+
+def _q_doc_winnow_pairs(spark, sf_dir):
+    """The MOSS report step: candidate near-dup pairs sharing >= 2
+    winnowing fingerprints, with the boilerplate-fingerprint DF cap
+    (the 100 TB join guard) — fully value-checked."""
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import (
+        ARITH_MOD_31, arith_hash_expr, fingerprint_overlap_pairs)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return fingerprint_overlap_pairs(
+        docs, min_shared=8, k=8, window=4, max_fp_df=20,
+        hash_expr=lambda g: arith_hash_expr(g, ARITH_MOD_31))
+
+
 def _q_image_phash_arith(spark, sf_dir):
     """Value check of the REAL image codec + phash pipeline (the
     verify_payload per-row invariant mechanism): closed-form ramp
@@ -867,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text-quality": _q_text_quality,
         "token-count": _q_token_count,
         "doc-fingerprint": _q_doc_fingerprint,
+        "doc-winnow-arith": _q_doc_winnow_arith,
+        "doc-winnow-pairs": _q_doc_winnow_pairs,
         "image-decode-meta": _q_image_decode_meta,
         "image-phash-arith": _q_image_phash_arith,
         "audio-chunk-features": _q_audio_chunk_features,
@@ -1320,6 +1351,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
             FROM sim a JOIN sim b ON a.id < b.id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "doc-winnow-arith": """
+            -- winnowing (MOSS): poly-hash every 8-char gram of
+            -- lower(text), take the min of each 4-gram window, distinct
+            WITH d AS (
+              SELECT doc_id AS id, lower(text) AS t
+              FROM documents WHERE doc_id < 300),
+            g AS (
+              SELECT id, list_transform(range(greatest(length(t) - 7, 1)),
+                i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substring(t, CAST(i + 1 AS INTEGER), 8), ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                     (a, x) -> (a * 31 + x) % 2147483647)) AS grams
+              FROM d),
+            f AS (
+              SELECT id, list_distinct([list_min(grams[CAST(j + 1 AS INTEGER):CAST(j + 4 AS INTEGER)])
+                                        for j in range(greatest(len(grams) - 3, 1))]) AS fps
+              FROM g)
+            SELECT id AS doc_id, unnest(fps) AS fp FROM f
+        """,
+        "doc-winnow-pairs": """
+            -- MOSS report step over the same fingerprints: pairs sharing
+            -- >= 8 prints, boilerplate prints (doc frequency > 20) capped
+            -- out of pair generation
+            WITH d AS (
+              SELECT doc_id AS id, lower(text) AS t
+              FROM documents WHERE doc_id < 300),
+            g AS (
+              SELECT id, list_transform(range(greatest(length(t) - 7, 1)),
+                i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substring(t, CAST(i + 1 AS INTEGER), 8), ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                     (a, x) -> (a * 31 + x) % 2147483647)) AS grams
+              FROM d),
+            f AS (
+              SELECT id, unnest(list_distinct(
+                [list_min(grams[CAST(j + 1 AS INTEGER):CAST(j + 4 AS INTEGER)])
+                 for j in range(greatest(len(grams) - 3, 1))])) AS fp
+              FROM g),
+            rare AS (
+              SELECT fp FROM (SELECT fp, count(*) AS c FROM f GROUP BY fp)
+              WHERE c <= 20),
+            fr AS (SELECT f.id, f.fp FROM f JOIN rare USING (fp))
+            SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+            FROM fr a JOIN fr b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING count(*) >= 8
         """,
         "image-phash-arith": """
             -- regenerate every ramp pixel from the closed form and

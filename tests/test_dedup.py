@@ -310,3 +310,59 @@ def test_default_xxhash_path_unchanged_by_parameterization(spark, docs):
           D.minhash_signatures(docs, num_hashes=8, seed=7,
                                hash_expr=None, perm_mod=D._MERSENNE).collect()}
     assert s1 == s2
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+
+
+def _py_winnow(text: str, k: int = 8, window: int = 4,
+               mod: int = D.ARITH_MOD_31) -> set[int]:
+    t = (text or "").lower()
+    n_grams = max(len(t) - k + 1, 1)
+    grams = [_py_arith_hash(t[i:i + k], mod) for i in range(n_grams)]
+    n_win = max(len(grams) - window + 1, 1)
+    return {min(grams[j:j + window]) for j in range(n_win)}
+
+
+def test_winnow_fingerprints_match_python_reference(spark, docs):
+    got = {}
+    for r in D.winnow_fingerprints(
+            docs, k=8, window=4,
+            hash_expr=lambda g: D.arith_hash_expr(g, D.ARITH_MOD_31)).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for did, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        assert got[did] == _py_winnow(text), did
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core property: two documents sharing a substring of
+    length >= k + window - 1 share at least one fingerprint."""
+    shared = "identical boilerplate fragment here"
+    rows = [(0, f"prefix alpha {shared} suffix beta"),
+            (1, f"other start {shared} completely different end"),
+            (2, "nothing in common with the rest at all whatsoever")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in D.winnow_fingerprints(df, k=8, window=4).collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared substring must yield a shared fingerprint"
+    assert len(fps[2]) > 0
+
+
+def test_fingerprint_overlap_pairs_and_df_cap(spark):
+    boiler = "all rights reserved by the example corporation of example"
+    rows = [(i, f"doc number {i} unique words {i * 17} " + boiler) for i in range(6)]
+    rows += [(10, "first twin document with many common words in sequence"),
+             (11, "first twin document with many common words in sequence plus"),
+             (12, "totally disjoint content nothing matching anywhere else here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fps"]
+             for r in D.fingerprint_overlap_pairs(df, min_shared=2).collect()}
+    assert (10, 11) in pairs
+    assert not any(12 in p for p in pairs)
+    # boilerplate cap: prints present in all 6 boiler docs (df=6) are
+    # excluded from pair generation at max_fp_df=2, killing those pairs
+    capped = {(r["id_a"], r["id_b"]) for r in D.fingerprint_overlap_pairs(
+        df, min_shared=2, max_fp_df=2).collect()}
+    assert (10, 11) in capped
+    assert not any(a < 6 and b < 6 for a, b in capped)

@@ -86,3 +86,38 @@ def fingerprint_expr(text: Column, bits: int = 64) -> Column:
 
 def fingerprint_md5_expr(text: Column) -> Column:
     return F.substring(F.md5(text), 1, 16)
+
+
+def winnow_grams_expr(text: Column, k: int = 8, hash_expr=None) -> Column:
+    """Hashes of every character k-gram of lower(text) — step 1 of
+    winnowing fingerprints (the MOSS scheme, Schleimer/Wilkerson/Aiken
+    SIGMOD'03). Texts shorter than k clamp to one whole-text gram
+    (substring clamps), same convention as shingles_expr. Default gram
+    hash is xxhash64; pass `hash_expr=lambda g:
+    dedup.arith_hash_expr(g, ...)` for the ANSI-SQL-recomputable twin
+    the DuckDB oracle verifies.
+
+    Kept SEPARATE from the window-minima step on purpose: interpreted
+    higher-order functions get no common-subexpression elimination, so
+    nesting this inside the minima transform would re-hash the whole
+    gram array once per window (quadratic — the same pitfall
+    documented on shingles_expr). Materialize this as a column, then
+    apply winnow_minima_expr to it."""
+    gh = hash_expr or (lambda g: F.xxhash64(g))
+    t = F.lower(F.coalesce(text, F.lit("")))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(0), n_grams - 1),
+                       lambda i: gh(F.substring(t, i + 1, k)))
+
+
+def winnow_minima_expr(grams: Column, window: int = 4) -> Column:
+    """Step 2: slide a window of `window` consecutive gram hashes over
+    a MATERIALIZED gram-hash array column, keep each window's minimum,
+    distinct the minima. Any shared substring of length >= k+window-1
+    between two documents yields a shared fingerprint while only
+    ~2/(window+1) of the grams are kept — the standard fingerprinting
+    density/guarantee trade."""
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda j: F.array_min(F.slice(grams, j + 1, window))))

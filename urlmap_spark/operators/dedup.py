@@ -423,3 +423,49 @@ def embedding_neardup_pairs(
             F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_expr=None) -> DataFrame:
+    """(id, fp) — one row per distinct winnowing fingerprint of each
+    document (functions/textstats.winnow_grams_expr + winnow_minima_expr,
+    two projections so the gram hashing runs once, not once per window).
+    All native expressions; nothing crosses into Python."""
+    from ..functions.textstats import winnow_grams_expr, winnow_minima_expr
+
+    grams = df.select(F.col(id_col).alias("id"),
+                      winnow_grams_expr(F.col(text_col), k, hash_expr).alias("_g"))
+    return grams.select("id", F.explode(winnow_minima_expr(F.col("_g"), window))
+                        .alias("fp"))
+
+
+def fingerprint_overlap_pairs(df: DataFrame, min_shared: int = 2,
+                              k: int = 8, window: int = 4,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              hash_expr=None, max_fp_df: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints (the
+    MOSS report step): join documents on fingerprint, count distinct
+    shared prints per pair, keep pairs with >= min_shared. The join is
+    on 8-byte fingerprint keys — document text never shuffles.
+
+    max_fp_df — the same 100 TB guard as ngram_jaccard_pairs'
+    max_shingle_df: a fingerprint appearing in f docs contributes
+    f*(f-1)/2 join rows, so boilerplate prints are excluded from pair
+    generation above the cap."""
+    fps = winnow_fingerprints(df, k, window, id_col, text_col, hash_expr)
+    if max_fp_df is not None:
+        rare = fps.groupBy("fp").agg(F.count("*").alias("_df")) \
+            .filter(F.col("_df") <= max_fp_df).select("fp")
+        fps = fps.join(rare, "fp")
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), (F.col("a.fp") == F.col("b.fp"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
