@@ -16,11 +16,12 @@ MECHANISMS are value-checked by twins: ``dedup-minhash-arith`` /
 recomputable polynomial hash family, and ``audio-chunk-features`` /
 ``video-frame-sample`` value-check the binary multimodal round-trip
 against closed-form regeneration. The crawl itself is
-value-checked two ways: ``crawl-reach`` (url/depth/status/ok vs a
-recursive-CTE BFS — DuckDB reproduces reachability, first-discovery
-depths and fetch outcomes) plus the rows-only ``crawl-bfs`` whose FIFO
-``order`` column is pinned by the pytest oracle-BFS suite instead (an
-enqueue rank is not SQL-expressible).
+value-checked two ways: ``crawl-bfs`` — FULLY, including the FIFO
+enqueue ``order`` (at its fixed max_depth the BFS unrolls into chained
+CTE levels whose per-round first-discovery rank is a window function)
+— and ``crawl-reach`` (recursive CTE, depth/status/ok under unbounded
+recursion semantics). The pytest oracle-BFS suite additionally pins
+``order`` across parallelism levels and configs.
 """
 
 from __future__ import annotations
@@ -821,11 +822,18 @@ def _q_video_frame_sample(spark, sf_dir):
 
 
 def _q_crawl_bfs(spark, sf_dir):
+    """The REAL crawl engine, FULLY value-checked — including the FIFO
+    enqueue `order`: at the fixed max_depth=2 the BFS unrolls into
+    three chained CTE levels in the oracle, each ranking first
+    discoveries by (parent_order, pos) with a window function. Three
+    seeds so cross-seed order interleaving is pinned too."""
     _ship_package(spark)
     from urlmap_spark.plans.crawl import CrawlConfig, crawl
 
     corpus = _doc_corpus(spark, sf_dir)
-    run = crawl(spark, corpus, "https://docs.test/p0",
+    seeds = ["https://docs.test/p0", "https://docs.test/p13",
+             "https://docs.test/p77"]
+    run = crawl(spark, corpus, seeds,
                 CrawlConfig(max_depth=2, same_path_prefix=False))
     return run.results.select("url", "depth", "order", "status", "ok").orderBy("order")
 
@@ -1483,6 +1491,60 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
+        "crawl-bfs": """
+            -- FULL crawl oracle including the FIFO enqueue `order`:
+            -- max_depth=2 lets the BFS unroll into 3 chained CTE levels,
+            -- so the per-round rank over (parent_order, pos) of each
+            -- URL's FIRST discovery becomes a window function per level
+            -- (tie = parent_order*8 + pos is injective since pos < 8).
+            -- Same web encoding as crawl-reach (dead = 500 + id%101).
+            WITH lk AS (
+              SELECT d.doc_id AS src, t.pos, t.dst
+              FROM documents d
+              CROSS JOIN LATERAL (VALUES
+                  (0, (d.doc_id * 7 + 1) % 500),
+                  (1, (d.doc_id * 3 + 2) % 500),
+                  (2, (d.doc_id * 11 + 5) % 500),
+                  (3, 500 + d.doc_id % 101)) AS t(pos, dst)
+              WHERE ((d.doc_id * 2654435761 + 17) % 100) >= 6),
+            r0(id, depth, ord) AS (VALUES (0, 0, CAST(0 AS BIGINT)),
+                                          (13, 0, CAST(1 AS BIGINT)),
+                                          (77, 0, CAST(2 AS BIGINT))),
+            n1 AS (
+              SELECT lk.dst AS id, min(r0.ord * 8 + lk.pos) AS tie
+              FROM r0 JOIN lk ON lk.src = r0.id
+              WHERE lk.dst NOT IN (SELECT id FROM r0)
+              GROUP BY lk.dst),
+            r1 AS (
+              SELECT id, 1 AS depth,
+                     (SELECT count(*) FROM r0)
+                     + rank() OVER (ORDER BY tie) - 1 AS ord
+              FROM n1),
+            n2 AS (
+              SELECT lk.dst AS id, min(r1.ord * 8 + lk.pos) AS tie
+              FROM r1 JOIN lk ON lk.src = r1.id
+              WHERE lk.dst NOT IN (SELECT id FROM r0
+                                   UNION ALL SELECT id FROM r1)
+              GROUP BY lk.dst),
+            r2 AS (
+              SELECT id, 2 AS depth,
+                     (SELECT count(*) FROM r0) + (SELECT count(*) FROM n1)
+                     + rank() OVER (ORDER BY tie) - 1 AS ord
+              FROM n2),
+            allr AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+                     UNION ALL SELECT * FROM r2)
+            SELECT CASE WHEN id >= 500
+                        THEN 'https://docs.test/dead/x' || (id - 500)
+                        ELSE 'https://docs.test/p' || id END AS url,
+                   depth,
+                   ord AS "order",
+                   CASE WHEN id >= 500 THEN 0
+                        WHEN (id * 2654435761 + 17) % 100 < 4 THEN 404
+                        WHEN (id * 2654435761 + 17) % 100 < 6 THEN 500
+                        ELSE 200 END AS status,
+                   (id < 500 AND (id * 2654435761 + 17) % 100 >= 6) AS ok
+            FROM allr
+        """,
         "crawl-reach": """
             -- recursive-CTE BFS over the docs-derived web: page p{id}
             -- links to (7id+1, 3id+2, 11id+5) mod 500 plus one dead
@@ -1571,10 +1633,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents
         """,
         # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
-        # embed-ann-lsh, embed-ann-ivf, image-decode-meta, crawl-bfs
-        # (crawl-bfs keeps `order`, which only the pytest oracle-BFS can
-        # pin; crawl-reach above value-checks the rest of the crawl;
-        # dedup-minhash-arith / dedup-simhash-arith value-check the
-        # xxhash64 entries' exact mechanism under the arithmetic hash
-        # family, so only the hash constants themselves stay unchecked)
+        # embed-ann-lsh, embed-ann-ivf, image-decode-meta — each has a
+        # value-checked MECHANISM twin (dedup-minhash-arith /
+        # dedup-simhash-arith under the arithmetic hash family,
+        # embed-ann-blocked for bucket-pruned ANN, image-phash-arith
+        # for the codec+phash pipeline), so only the xxhash64/rng
+        # constants themselves stay unchecked. crawl-bfs is fully
+        # value-checked ABOVE, including FIFO `order` (unrolled
+        # 3-level CTE); crawl-reach covers unbounded-depth semantics.
     }
