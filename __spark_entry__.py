@@ -705,6 +705,20 @@ def _q_embed_ann_blocked(spark, sf_dir):
         .select("vec_id", "cosine")
 
 
+def _q_embed_ann_ivf_int(spark, sf_dir):
+    """The REAL IVF probe machinery (assign -> nprobe cells -> exact
+    in-cell top-k) under integer-quantized dot products and an
+    arithmetic centroid rule — every cell assignment, probe choice and
+    final ranked row is recomputed exactly by DuckDB."""
+    _ship_package(spark)
+    from urlmap_spark.operators.similarity import ivf_topk_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk_int(emb.filter(F.col("vec_id") != 0), qv,
+                        k=10, n_centroids=8, nprobe=3, stride=37)
+
+
 def _q_embed_neardup(spark, sf_dir):
     from urlmap_spark.operators.dedup import embedding_neardup_pairs
 
@@ -899,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed-ann-lsh": _q_embed_ann_lsh,
         "embed-ann-ivf": _q_embed_ann_ivf,
         "embed-ann-blocked": _q_embed_ann_blocked,
+        "embed-ann-ivf-int": _q_embed_ann_ivf_int,
         "embed-neardup": _q_embed_neardup,
         "text-langid": _q_text_langid,
         "text-quality": _q_text_quality,
@@ -1360,6 +1375,41 @@ def oracle_sql() -> dict[str, str]:
             FROM sim a JOIN sim b ON a.id < b.id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
+        "embed-ann-ivf-int": """
+            -- integer-quantized IVF: centroids = first 8 vectors with
+            -- id % 37 = 1; assignment/probe by exact integer dots
+            -- (floor(x*1e6) quantization is bit-identical across
+            -- engines); final ranking = rounded cosine + id tie-break
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v, list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qq
+                  FROM e WHERE vec_id = 0),
+            qe AS (SELECT vec_id, v,
+                          list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+                   FROM e WHERE vec_id <> 0),
+            cents AS (SELECT qv AS qc,
+                             CAST(rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+                      FROM qe WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 8),
+            dots AS (SELECT qe.vec_id, c.cell,
+                       list_sum(list_transform(range(1, len(qe.qv) + 1),
+                         i -> qe.qv[CAST(i AS INTEGER)] * c.qc[CAST(i AS INTEGER)])) AS dot
+                     FROM qe CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cell FROM (
+                         SELECT vec_id, cell,
+                                rank() OVER (PARTITION BY vec_id
+                                             ORDER BY dot DESC, cell) AS rn
+                         FROM dots) WHERE rn = 1),
+            qdots AS (SELECT c.cell,
+                        list_sum(list_transform(range(1, len(q.qq) + 1),
+                          i -> q.qq[CAST(i AS INTEGER)] * c.qc[CAST(i AS INTEGER)])) AS dot
+                      FROM cents c CROSS JOIN q),
+            probe AS (SELECT cell FROM (
+                        SELECT cell, rank() OVER (ORDER BY dot DESC, cell) AS rn
+                        FROM qdots) WHERE rn <= 3)
+            SELECT qe.vec_id,
+                   round(list_cosine_similarity(qe.v, (SELECT v FROM q)), 6) AS cosine
+            FROM qe JOIN assign USING (vec_id) JOIN probe USING (cell)
+            ORDER BY cosine DESC, qe.vec_id LIMIT 10
+        """,
         "doc-winnow-arith": """
             -- winnowing (MOSS): poly-hash every 8-char gram of
             -- lower(text), take the min of each 4-gram window, distinct
@@ -1636,7 +1686,8 @@ def oracle_sql() -> dict[str, str]:
         # embed-ann-lsh, embed-ann-ivf, image-decode-meta — each has a
         # value-checked MECHANISM twin (dedup-minhash-arith /
         # dedup-simhash-arith under the arithmetic hash family,
-        # embed-ann-blocked for bucket-pruned ANN, image-phash-arith
+        # embed-ann-blocked for bucket-pruned ANN, embed-ann-ivf-int
+        # for the IVF assign/probe machinery, image-phash-arith
         # for the codec+phash pipeline), so only the xxhash64/rng
         # constants themselves stay unchecked. crawl-bfs is fully
         # value-checked ABOVE, including FIFO `order` (unrolled

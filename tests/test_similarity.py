@@ -67,3 +67,21 @@ def test_lsh_bucket_deterministic(spark, emb):
     b = {r["vec_id"]: r["bucket"] for r in S.lsh_bucket(emb.repartition(9), dim=32,
                                                         n_planes=6).collect()}
     assert a == b
+
+
+def test_ivf_int_topk_recall_and_determinism(spark, emb):
+    """The integer-quantized IVF twin: decent recall vs brute force
+    (same cluster structure as ivf_topk), and identical output across
+    different input partitionings (assignments are integer-exact, so
+    no float-tie nondeterminism can creep in)."""
+    q = _query(emb)
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in S.brute_force_topk(rest, q, k=10).collect()]
+    got1 = [(r["vec_id"], r["cosine"]) for r in
+            S.ivf_topk_int(rest, q, k=10, n_centroids=8, nprobe=3, stride=13).collect()]
+    got2 = [(r["vec_id"], r["cosine"]) for r in
+            S.ivf_topk_int(rest.repartition(17), q, k=10, n_centroids=8,
+                           nprobe=3, stride=13).collect()]
+    assert got1 == got2
+    recall = len(set(v for v, _ in got1) & set(exact)) / 10
+    assert recall >= 0.5, f"ivf_int recall too low: {recall}"
