@@ -719,6 +719,20 @@ def _q_embed_ann_ivf_int(spark, sf_dir):
                         k=10, n_centroids=8, nprobe=3, stride=37)
 
 
+def _q_embed_ann_lsh_int(spark, sf_dir):
+    """The REAL hyperplane-LSH probe machinery (signature bucket +
+    hamming-1 multi-probe) under integer-quantized dot signs and an
+    arithmetic plane rule — bucket of every vector, query bucket and
+    probe set all recomputed exactly by DuckDB."""
+    _ship_package(spark)
+    from urlmap_spark.operators.similarity import lsh_topk_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk_int(emb.filter(F.col("vec_id") != 0), qv,
+                        k=10, n_planes=6, multiprobe=1, stride=29)
+
+
 def _q_embed_neardup(spark, sf_dir):
     from urlmap_spark.operators.dedup import embedding_neardup_pairs
 
@@ -914,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed-ann-ivf": _q_embed_ann_ivf,
         "embed-ann-blocked": _q_embed_ann_blocked,
         "embed-ann-ivf-int": _q_embed_ann_ivf_int,
+        "embed-ann-lsh-int": _q_embed_ann_lsh_int,
         "embed-neardup": _q_embed_neardup,
         "text-langid": _q_text_langid,
         "text-quality": _q_text_quality,
@@ -1410,6 +1425,44 @@ def oracle_sql() -> dict[str, str]:
             FROM qe JOIN assign USING (vec_id) JOIN probe USING (cell)
             ORDER BY cosine DESC, qe.vec_id LIMIT 10
         """,
+        "embed-ann-lsh-int": """
+            -- integer-sign hyperplane LSH: planes = first 6 vectors
+            -- with id % 29 = 3; bucket bit j = (int dot >= 0); probes =
+            -- query bucket plus its 6 hamming-1 flips
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v, list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qq
+                  FROM e WHERE vec_id = 0),
+            qe AS (SELECT vec_id, v,
+                          list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+                   FROM e WHERE vec_id <> 0),
+            planes AS (SELECT qv AS qp,
+                              CAST(rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+                       FROM qe WHERE vec_id % 29 = 3 ORDER BY vec_id LIMIT 6),
+            vd AS (SELECT qe.vec_id, p.j,
+                     list_sum(list_transform(range(1, len(qe.qv) + 1),
+                       i -> qe.qv[CAST(i AS INTEGER)] * p.qp[CAST(i AS INTEGER)])) AS dot
+                   FROM qe CROSS JOIN planes p),
+            vb AS (SELECT vec_id,
+                          CAST(sum(CASE WHEN dot >= 0
+                                   THEN (CAST(1 AS BIGINT) << (5 - j)) ELSE 0 END) AS BIGINT) AS bkt
+                   FROM vd GROUP BY vec_id),
+            qd AS (SELECT p.j,
+                     list_sum(list_transform(range(1, len(q.qq) + 1),
+                       i -> q.qq[CAST(i AS INTEGER)] * p.qp[CAST(i AS INTEGER)])) AS dot
+                   FROM planes p CROSS JOIN q),
+            qb AS (SELECT CAST(sum(CASE WHEN dot >= 0
+                               THEN (CAST(1 AS BIGINT) << (5 - j)) ELSE 0 END) AS BIGINT) AS bkt
+                   FROM qd),
+            probes AS (SELECT bkt FROM qb
+                       UNION
+                       SELECT CAST(xor(qb.bkt, CAST(1 AS BIGINT) << f.f) AS BIGINT)
+                       FROM qb CROSS JOIN (SELECT unnest(range(6)) AS f) f)
+            SELECT qe.vec_id,
+                   round(list_cosine_similarity(qe.v, (SELECT v FROM q)), 6) AS cosine
+            FROM qe JOIN vb USING (vec_id)
+            WHERE vb.bkt IN (SELECT bkt FROM probes)
+            ORDER BY cosine DESC, qe.vec_id LIMIT 10
+        """,
         "doc-winnow-arith": """
             -- winnowing (MOSS): poly-hash every 8-char gram of
             -- lower(text), take the min of each 4-gram window, distinct
@@ -1686,8 +1739,9 @@ def oracle_sql() -> dict[str, str]:
         # embed-ann-lsh, embed-ann-ivf, image-decode-meta — each has a
         # value-checked MECHANISM twin (dedup-minhash-arith /
         # dedup-simhash-arith under the arithmetic hash family,
-        # embed-ann-blocked for bucket-pruned ANN, embed-ann-ivf-int
-        # for the IVF assign/probe machinery, image-phash-arith
+        # embed-ann-blocked for bucket-pruned ANN, embed-ann-ivf-int /
+        # embed-ann-lsh-int for the IVF and multiprobe-LSH machinery,
+        # image-phash-arith
         # for the codec+phash pipeline), so only the xxhash64/rng
         # constants themselves stay unchecked. crawl-bfs is fully
         # value-checked ABOVE, including FIFO `order` (unrolled

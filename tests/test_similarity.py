@@ -85,3 +85,20 @@ def test_ivf_int_topk_recall_and_determinism(spark, emb):
     assert got1 == got2
     recall = len(set(v for v, _ in got1) & set(exact)) / 10
     assert recall >= 0.5, f"ivf_int recall too low: {recall}"
+
+
+def test_lsh_int_topk_recall_and_determinism(spark, emb):
+    """Integer-sign LSH twin: multiprobe recall floor vs brute force,
+    and partitioning-invariant output (integer dot signs cannot tie-
+    flip across plans)."""
+    q = _query(emb)
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in S.brute_force_topk(rest, q, k=10).collect()]
+    got1 = [(r["vec_id"], r["cosine"]) for r in
+            S.lsh_topk_int(rest, q, k=10, n_planes=5, multiprobe=1, stride=11).collect()]
+    got2 = [(r["vec_id"], r["cosine"]) for r in
+            S.lsh_topk_int(rest.repartition(13), q, k=10, n_planes=5,
+                           multiprobe=1, stride=11).collect()]
+    assert got1 == got2
+    recall = len(set(v for v, _ in got1) & set(exact)) / 10
+    assert recall >= 0.4, f"lsh_int recall too low: {recall}"

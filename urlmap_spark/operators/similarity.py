@@ -213,3 +213,44 @@ def ivf_topk_int(
         "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int"))
     cand = assigned.filter(F.col("cell").isin(probe)).drop("_qv", "cell")
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def lsh_topk_int(
+    emb: DataFrame, query_vec, k: int = 10, n_planes: int = 6,
+    multiprobe: int = 1, stride: int = 29,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    scale: int = IVF_INT_SCALE,
+) -> DataFrame:
+    """The REAL hyperplane-LSH probe machinery (signature buckets +
+    hamming multi-probe) made value-checkable: planes are the first
+    n_planes dataset vectors with id % stride == 3 (arithmetic rule),
+    and signature bits come from integer-quantized dot signs — so the
+    bucket of every vector, the query bucket, and the multi-probe set
+    are all exactly reproducible in ANSI SQL. Same recall mechanics as
+    lsh_topk (random gaussian planes stay the production default)."""
+    planes = (
+        emb.filter(F.col(id_col) % stride == 3)
+        .orderBy(id_col).limit(n_planes)
+        .select(quantize_expr(F.col(vec_col), scale).alias("qp"))
+        .collect()
+    )
+    import math
+
+    qq = [math.floor(float(x) * scale) for x in query_vec]
+    qbits = [1 if sum(a * b for a, b in zip(r["qp"], qq)) >= 0 else 0
+             for r in planes]
+    qbucket = 0
+    for b in qbits:
+        qbucket = qbucket * 2 + b
+    probes = {qbucket}
+    if multiprobe > 0:
+        for i in range(len(planes)):
+            probes.add(qbucket ^ (1 << (len(planes) - 1 - i)))
+
+    qe = emb.withColumn("_qv", quantize_expr(F.col(vec_col), scale))
+    acc = F.lit(0)
+    for r in planes:
+        acc = acc * 2 + (_int_dot_expr(F.col("_qv"), r["qp"]) >= 0).cast("int")
+    cand = qe.withColumn("_bkt", acc) \
+             .filter(F.col("_bkt").isin(*probes)).drop("_qv", "_bkt")
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
