@@ -94,3 +94,46 @@ def test_legacy_flat_seen_layout_migrates(spark, tmp_path):
     _write_urls(spark, inp, ["https://old.test/a", "https://new.test/c"])
     ing.run_available_now(inp)
     assert ing.seen_count() == 3
+
+
+def test_host_quota_stream_state_survives_batches(spark, tmp_path):
+    """applyInPandasWithState politeness: per-host budget persists
+    ACROSS micro-batches (maxFilesPerTrigger=1 forces one batch per
+    input file), so a host that exhausts its window budget in batch 1
+    stays blocked in batch 2 until the window rolls."""
+    import pandas as pd
+
+    from urlmap_spark.streaming.politeness import host_quota_decisions
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # batch 1: h0 uses its full quota (2) inside window [0, 1000)
+    pd.DataFrame({
+        "host": ["h0", "h0", "h1"],
+        "url": ["u0", "u1", "v0"],
+        "ts": [0, 10, 5],
+    }).to_parquet(src / "a_part0.parquet")
+    # batch 2: h0 sends two more in the SAME window (blocked) and one
+    # after the window rolls (allowed)
+    pd.DataFrame({
+        "host": ["h0", "h0", "h0", "h1"],
+        "url": ["u2", "u3", "u4", "v1"],
+        "ts": [20, 900, 1500, 30],
+    }).to_parquet(src / "b_part1.parquet")
+
+    stream = (spark.readStream.schema("host string, url string, ts long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (host_quota_decisions(stream, quota=2, window_ms=1000)
+         .writeStream.format("memory").queryName("hq_decisions")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r["url"]: (r["allowed"], r["used"])
+            for r in spark.sql("SELECT * FROM hq_decisions").collect()}
+    assert rows["u0"] == (True, 1) and rows["u1"] == (True, 2)
+    # state carried into batch 2: budget already exhausted
+    assert rows["u2"][0] is False and rows["u3"][0] is False
+    # window rolled at ts 1500 -> fresh budget
+    assert rows["u4"] == (True, 1)
+    # independent host unaffected
+    assert rows["v0"][0] is True and rows["v1"][0] is True
