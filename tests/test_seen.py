@@ -121,3 +121,29 @@ def test_probe_is_distributed_no_driver_collect(spark):
     plain = {r["url"] for r in _urls(spark, cands).join(seen, "url", "left_anti").collect()}
     bloom = {r["url"] for r in seen_anti_join(_urls(spark, cands), seen, filters, cfg).collect()}
     assert bloom == plain
+
+
+def test_broadcast_limit_crossing_mid_crawl(spark):
+    """A crawl whose |seen| crosses broadcast_seen_max_urls MID-CRAWL
+    must transition to the fallback (bloom-cogroup) path and still
+    produce the identical sequence — the filters are maintained every
+    round precisely so the transition is seamless."""
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+    from urlmap_spark.sources import corpus as C
+
+    pdf = C.corpus_pandas(seed=11, n_hosts=4, total_pages=60, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed_url = "https://h0.example-11.test/"
+    base = crawl(spark, cdf, seed_url,
+                 CrawlConfig(max_depth=4, same_path_prefix=False))
+    n_total = base.results.count()
+    assert n_total > 10
+    # limit of 5: round 0 broadcasts (|seen|=1), later rounds exceed it
+    # and take the bloom-cogroup arm
+    trans = crawl(spark, cdf, seed_url,
+                  CrawlConfig(max_depth=4, same_path_prefix=False,
+                              broadcast_seen_max_urls=5,
+                              bloom_seen=True, bloom_buckets=8))
+    a = [(r["url"], r["order"]) for r in base.results.orderBy("order").collect()]
+    b = [(r["url"], r["order"]) for r in trans.results.orderBy("order").collect()]
+    assert a == b
