@@ -246,3 +246,47 @@ def test_resume_with_pending_retries(spark, tmp_path):
     got = sorted((r["url"], r["depth"], r["ok"]) for r in resumed.results.collect())
     assert got == expect
     assert ("https://rt.test/flaky", 1, True) in got  # recovered after resume
+
+
+def test_catalog_compaction_and_vacuum_preserve_resume(spark, tmp_path):
+    """Long crawls accrete one small seen_delta dir per round (the
+    small-files problem); compact() folds them into one snapshot and
+    vacuum removes the covered per-round dirs. A resume AFTER
+    compaction+vacuum must still produce the identical final output,
+    and read_union must serve snapshot + post-snapshot deltas."""
+    import os
+
+    from urlmap_spark.sources.catalog import RoundCatalog
+
+    pdf = C.corpus_pandas(seed=42, n_hosts=4, total_pages=60, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed = "https://h0.example-42.test/"
+    full = crawl(spark, cdf, seed, CrawlConfig(max_depth=3, same_path_prefix=False))
+    expect = [(r["url"], r["depth"], r["order"])
+              for r in full.results.orderBy("order").collect()]
+
+    ck = str(tmp_path / "ckpt")
+    crawl(spark, cdf, seed, CrawlConfig(
+        max_depth=3, same_path_prefix=False, checkpoint_dir=ck, max_rounds=2))
+    cat = RoundCatalog(ck)
+    before = cat.read_union(spark, "seen_delta").count()
+    v = cat.compact(spark, "seen_delta", num_files=1, vacuum=True)
+    assert v == 1
+    # covered per-round delta dirs are gone; snapshot serves their rows
+    assert not any(
+        os.path.exists(os.path.join(cat._rdir(r), "seen_delta")) for r in (0, 1))
+    assert cat.read_union(spark, "seen_delta").count() == before
+
+    resumed = crawl(spark, cdf, seed, CrawlConfig(
+        max_depth=3, same_path_prefix=False, checkpoint_dir=ck), resume=True)
+    got = [(r["url"], r["depth"], r["order"])
+           for r in resumed.results.orderBy("order").collect()]
+    assert got == expect
+    # post-snapshot deltas append onto the snapshot in one scan
+    # (the persisted deltas exclude the seed row — resume re-adds it)
+    n_seen = full.seen.dropDuplicates(["url"]).count() - 1
+    assert cat.read_union(spark, "seen_delta").count() == n_seen
+    # a second compaction covering everything also works
+    v2 = cat.compact(spark, "seen_delta", num_files=1, vacuum=True)
+    assert v2 == resumed.rounds - 1
+    assert cat.read_union(spark, "seen_delta").count() == n_seen

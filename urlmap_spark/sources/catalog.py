@@ -78,15 +78,75 @@ class RoundCatalog:
         with open(os.path.join(self._rdir(r), "metrics.json")) as f:
             return json.load(f)
 
+    def _cdir(self, name: str) -> str:
+        return os.path.join(self.root, "compact", name)
+
+    def _compact_version(self, name: str) -> int | None:
+        """Highest committed compaction round for `name`, or None."""
+        base = self._cdir(name)
+        if not os.path.isdir(base):
+            return None
+        vs = [int(d[2:]) for d in os.listdir(base)
+              if d.startswith("v=")
+              and os.path.exists(os.path.join(base, d, "_COMMITTED"))]
+        return max(vs) if vs else None
+
+    def compact(self, spark: SparkSession, name: str = "seen_delta",
+                num_files: int | None = None, vacuum: bool = False) -> int | None:
+        """Fold every committed per-round `name` table into ONE snapshot
+        (compact/<name>/v=<last_round>/) — the Iceberg rewrite_data_files
+        analog for this shim. A 1000-round crawl otherwise accretes
+        thousands of small delta files whose open/footer cost dominates
+        the resume scan (the classic small-files problem). Deltas are
+        disjoint by construction (each round's rows were anti-joined
+        against everything earlier), so compaction is pure concatenation.
+        Readers only trust a snapshot with its _COMMITTED marker, and
+        read_union automatically serves snapshot + post-snapshot deltas.
+        vacuum=True removes the per-round table dirs the snapshot covers
+        (the round markers and other tables stay; read_union skips the
+        missing subdirs). Returns the snapshot round, or None if there
+        is nothing to compact."""
+        last = self.last_round()
+        if last is None:
+            return None
+        df = self.read_union(spark, name, upto=last)
+        if num_files:
+            df = df.coalesce(num_files)
+        vdir = os.path.join(self._cdir(name), f"v={last:04d}")
+        if os.path.exists(vdir):  # crashed previous attempt
+            shutil.rmtree(vdir)
+        df.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
+        mtmp = os.path.join(vdir, "._COMMITTED.tmp")
+        open(mtmp, "w").close()
+        os.replace(mtmp, os.path.join(vdir, "_COMMITTED"))
+        if vacuum:
+            for r in self.committed_rounds():
+                if r <= last:
+                    tdir = os.path.join(self._rdir(r), name)
+                    if os.path.exists(tdir):
+                        shutil.rmtree(tdir)
+            # older snapshots are fully covered by the new one
+            for d in os.listdir(self._cdir(name)):
+                if d.startswith("v=") and int(d[2:]) != last:
+                    shutil.rmtree(os.path.join(self._cdir(name), d))
+        return last
+
     def read_union(self, spark: SparkSession, name: str, upto: int | None = None) -> DataFrame:
         """Union of table `name` across committed rounds (e.g. the full
         seen set = union of seen_delta). Parquet reads many dirs in one
-        scan — no driver-side loop over rows."""
+        scan — no driver-side loop over rows. If a compaction snapshot
+        covers a prefix of the requested rounds, it replaces those
+        rounds' deltas in the scan."""
         rs = self.committed_rounds()
         if upto is not None:
             rs = [r for r in rs if r <= upto]
-        paths = [os.path.join(self._rdir(r), name) for r in rs
-                 if os.path.exists(os.path.join(self._rdir(r), name))]
+        paths = []
+        cv = self._compact_version(name)
+        if cv is not None and (upto is None or cv <= upto):
+            paths.append(os.path.join(self._cdir(name), f"v={cv:04d}", "data"))
+            rs = [r for r in rs if r > cv]
+        paths += [os.path.join(self._rdir(r), name) for r in rs
+                  if os.path.exists(os.path.join(self._rdir(r), name))]
         if not paths:
             raise FileNotFoundError(f"no committed '{name}' tables under {self.root}")
         return spark.read.parquet(*paths)
