@@ -1,0 +1,74 @@
+"""Property-based parity fuzz (hypothesis): the hybrid native+UDF
+canonicalization must equal the exact-UDF path and the pure-Python
+kernel on GENERATED hrefs/bases, not just the curated edge list in
+test_extract.py. Derandomized (fixed seed) so CI is deterministic;
+shrinking still localizes any counterexample."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F  # noqa: F401
+
+from urlmap_spark.functions import urlcore
+from urlmap_spark.operators.extract import extract_outlinks
+
+SEG = st.text(alphabet="abz09._~-", min_size=1, max_size=5)
+
+_PREFIX = st.sampled_from([
+    "", "/", "./", "../", "//", ".//", "..//", "https://h7.test/",
+    "http://h7.test", "HTTPS://Up.Test/", "javascript:", "mailto:",
+    "?", "#", " ", ".", "..", "data:,", "a:b/",
+])
+_SUFFIX = st.sampled_from(["", "/", "//", "?q=1", "#f", "?x#y", " ", "/.", "/.."])
+
+_GRAMMAR_HREF = st.builds(
+    lambda p, segs, s: p + "/".join(segs) + s,
+    _PREFIX, st.lists(SEG, min_size=0, max_size=3), _SUFFIX)
+
+# raw chaos (printable minus the quote that delimits href="..." in captions)
+_RAW_HREF = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           exclude_characters='"'),
+    max_size=12)
+
+HREF = st.one_of(_GRAMMAR_HREF, _RAW_HREF)
+
+_BASE_RAW = st.builds(
+    lambda host, segs, q: "https://" + host + "/" + "/".join(segs)
+    + ("?" + q if q else ""),
+    st.sampled_from(["edge.test", "h0.fz.test", "deep.sub.fz.test"]),
+    st.lists(SEG, min_size=0, max_size=3),
+    st.sampled_from(["", "x=1", "a=b&c=d"]))
+
+
+def _canonical_base(raw: str) -> str:
+    n = urlcore.normalize_url(raw)
+    assert n is not None
+    return n
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(bases=st.lists(_BASE_RAW, min_size=1, max_size=3, unique=True),
+       hrefs=st.lists(HREF, min_size=1, max_size=25))
+def test_hybrid_equals_udf_equals_python_fuzzed(spark, bases, hrefs):
+    # distinct raws can normalize to the same canonical URL ('/a/' and
+    # '/a') — dedupe so expected positions count each page once
+    bases = sorted({_canonical_base(b) for b in bases})
+    rows = [{"url": b, "caption": " ".join(f'href="{h}"' for h in hrefs)}
+            for b in bases]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "caption"]))
+
+    hybrid = sorted((r["url"], r["pos"], r["outlink"]) for r in
+                    extract_outlinks(df).select("url", "pos", "outlink").collect())
+    pure = sorted((r["url"], r["pos"], r["outlink"]) for r in
+                  extract_outlinks(df, native_fast_path=False)
+                  .select("url", "pos", "outlink").collect())
+    assert hybrid == pure, "hybrid native path diverges from exact UDF path"
+
+    exp = []
+    for b in set(bases):
+        for pos, h in enumerate(hrefs):
+            c = urlcore.canonical_outlink(b, h)
+            if c is not None:
+                exp.append((b, pos, c))
+    assert hybrid == sorted(exp), "Spark pipeline diverges from Python kernel"

@@ -87,7 +87,7 @@ def extract_same_domain(pages: DataFrame, base_col: str = "url",
     return canonicalize_links(exploded, base_col, page_host_scope=True)
 
 
-def href_category_expr() -> Column:
+def href_category_expr(base_col: str | None = None) -> Column:
     """Categorize the ``href`` column for hybrid canonicalization:
     1 = absolute lowercase http(s), 2 = root-relative (no dot segments),
     3 = './'-relative (single leading dot segment), 4 = '../'-relative
@@ -96,14 +96,31 @@ def href_category_expr() -> Column:
     Skip-scheme/empty/whitespace hrefs can never satisfy a native
     category (they all contain ':', start with '#', or fail the
     trim/nonempty guards), so no separate skip category is needed — the
-    UDF branch drops them."""
+    UDF branch drops them.
+
+    base_col — when given, a BASE containing a dot segment routes the
+    whole row to the exact UDF: the native branches splice the base's
+    directory verbatim, but the resolver collapses dot segments of the
+    merged path (RFC 3986 remove_dot_segments), so a dotted base (a
+    user seed is normalized but not dot-collapsed) would diverge.
+    Found by the hypothesis parity fuzz (tests/test_fuzz_parity.py)."""
     href = F.col("href")
     trimmed = href == F.trim(href)
     nonempty = href != ""
-    # any '.' or '..' path segment disqualifies native resolution
+    # any '.' or '..' path segment disqualifies native resolution —
+    # INCLUDING inside absolute hrefs: the resolver applies
+    # remove_dot_segments to an absolute reference's path too, which
+    # the native branch does not (same fuzz finding)
     dotseg = href.rlike(r"(^|/)\.{1,2}(/|$)")
 
-    is_abs = (href.startswith("http://") | href.startswith("https://")) & trimmed
+    is_abs = ((href.startswith("http://") | href.startswith("https://"))
+              & trimmed & ~dotseg)
+    # base-DIRECTORY categories (3/4/6) additionally need a dot-free
+    # base: they splice the base's dir verbatim, while the resolver
+    # collapses dot segments of the merged path. Cat 1 never consults
+    # the base; cat 2 only uses its scheme://host — both exempt.
+    base_ok = (F.lit(True) if base_col is None
+               else ~F.col(base_col).rlike(r"(^|/)\.{1,2}(/|$)"))
     is_rootrel = (
         href.startswith("/") & ~href.startswith("//") & ~dotseg & trimmed
     )
@@ -117,17 +134,17 @@ def href_category_expr() -> Column:
     r3 = F.substring(href, 3, F.lit(1 << 30))
     is_dotrel = (
         href.startswith("./") & trimmed & ~dslash & ~r3.contains(":")
-        & ~r3.startswith("/") & ~r3.rlike(r"(^|/)\.{1,2}(/|$)")
+        & ~r3.startswith("/") & ~r3.rlike(r"(^|/)\.{1,2}(/|$)") & base_ok
     )
     r4 = F.substring(href, 4, F.lit(1 << 30))
     is_parentrel = (
         href.startswith("../") & trimmed & ~dslash & ~r4.contains(":")
-        & ~r4.startswith("/") & ~r4.rlike(r"(^|/)\.{1,2}(/|$)")
+        & ~r4.startswith("/") & ~r4.rlike(r"(^|/)\.{1,2}(/|$)") & base_ok
     )
     is_bare = (
         nonempty & trimmed & ~href.contains(":") & ~dotseg & ~dslash
         & ~href.startswith("/") & ~href.startswith(".")
-        & ~href.startswith("?") & ~href.startswith("#")
+        & ~href.startswith("?") & ~href.startswith("#") & base_ok
     )
     return (
         F.when(is_abs, F.lit(1))
@@ -217,7 +234,7 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
     # mode with per-task compile retries).
     href = F.col("href")
     tagged = exploded if "_cat" in exploded.columns else \
-        exploded.withColumn("_cat", href_category_expr())
+        exploded.withColumn("_cat", href_category_expr(base_col))
     c = F.col("_cat")
 
     # Single-pass assembly: normalize the PATH piece before concatenation

@@ -474,7 +474,8 @@ def crawl(
                 # materialize the href category here: the two canonicalization
                 # branch filters then reference a plain int attribute instead
                 # of having the category CASE substituted into each of them
-                .withColumn("_cat", href_category_expr())
+                # (base_col: a dotted-path base routes to the exact UDF)
+                .withColumn("_cat", href_category_expr("url"))
                 .repartition(n_extract)
                 # eager checkpoint, NOT exchange-reuse: the two branch
                 # consumers do share the repartition exchange, but through
