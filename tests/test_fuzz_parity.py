@@ -19,7 +19,8 @@ _PREFIX = st.sampled_from([
     "http://h7.test", "HTTPS://Up.Test/", "javascript:", "mailto:",
     "?", "#", " ", ".", "..", "data:,", "a:b/",
 ])
-_SUFFIX = st.sampled_from(["", "/", "//", "?q=1", "#f", "?x#y", " ", "/.", "/.."])
+_SUFFIX = st.sampled_from(["", "/", "//", "?q=1", "#f", "?x#y", " ", "/.", "/..",
+                           "?", "?#f", "#"])
 
 _GRAMMAR_HREF = st.builds(
     lambda p, segs, s: p + "/".join(segs) + s,
@@ -47,7 +48,7 @@ def _canonical_base(raw: str) -> str:
     return n
 
 
-@settings(max_examples=10, deadline=None, derandomize=True)
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(bases=st.lists(_BASE_RAW, min_size=1, max_size=3, unique=True),
        hrefs=st.lists(HREF, min_size=1, max_size=25))
 def test_hybrid_equals_udf_equals_python_fuzzed(spark, bases, hrefs):
@@ -72,3 +73,55 @@ def test_hybrid_equals_udf_equals_python_fuzzed(spark, bases, hrefs):
             if c is not None:
                 exp.append((b, pos, c))
     assert hybrid == sorted(exp), "Spark pipeline diverges from Python kernel"
+
+
+# canonical-universe URL generator for the normalize/host/dir twins:
+# absolute http(s), no percent-escapes — the declared universe of
+# normalize_simple_expr / _light_host / _light_dir_path
+_HOSTPART = st.text(alphabet="abz09-", min_size=1, max_size=5)
+_ABS_URL = st.builds(
+    lambda scheme, hs, port, segs, slash, q, frag:
+        scheme + ".".join(hs) + port + "/" + "/".join(segs)
+        + (slash if segs else "") + q + frag,
+    st.sampled_from(["http://", "https://"]),
+    st.lists(_HOSTPART, min_size=1, max_size=3),
+    st.sampled_from(["", ":8080", ":443"]),
+    st.lists(SEG, min_size=0, max_size=3),
+    st.sampled_from(["", "/"]),
+    st.sampled_from(["", "?q=1", "?a=b&c=d", "?"]),
+    st.sampled_from(["", "#f", "#", "#a/b?c"]))
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(urls=st.lists(_ABS_URL, min_size=1, max_size=30))
+def test_native_normalize_twin_fuzzed(spark, urls):
+    """normalize_simple_expr must equal urlcore.normalize_url on every
+    generated absolute http(s) URL (its declared universe)."""
+    from urlmap_spark.functions.urlkernel import normalize_simple_expr
+
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    got = [r["n"] for r in
+           df.select(normalize_simple_expr(F.col("url")).alias("n")).collect()]
+    want = [urlcore.normalize_url(u) for u in urls]
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(urls=st.lists(_ABS_URL, min_size=1, max_size=30))
+def test_light_host_and_dir_twins_fuzzed(spark, urls):
+    """_light_host / _light_dir_path (the scope-filter fast paths) must
+    equal the Python kernel's host and directory-path on CANONICAL
+    URLs (they consume canonical_outlink/normalize output)."""
+    from urllib.parse import urlsplit
+
+    from urlmap_spark.operators.extract import _light_dir_path, _light_host
+
+    canon = sorted({c for c in (urlcore.normalize_url(u) for u in urls) if c})
+    df = spark.createDataFrame(pd.DataFrame({"url": canon}))
+    rows = df.select(
+        _light_host(F.col("url")).alias("h"),
+        _light_dir_path(F.col("url")).alias("d"),
+        "url").collect()
+    for r in rows:
+        assert r["h"] == (urlcore.extract_domain(r["url"]) or "").lower(), r["url"]
+        assert r["d"] == urlcore._dir_path(urlsplit(r["url"]).path or "/"), r["url"]

@@ -103,6 +103,9 @@ def normalize_simple_expr(url: Column) -> Column:
     rest = F.substring(nofrag, F.length(scheme_host) + 1, F.lit(1 << 30))
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.substring(rest, F.length(path) + 1, F.lit(1 << 30))  # includes leading ? or empty
+    # a BARE '?' (empty query) is dropped by the kernel's rebuild
+    # (urlsplit cannot distinguish it); found by the hypothesis fuzz
+    query = F.when(query == "?", F.lit("")).otherwise(query)
     path1 = _strip_one_trailing_slash(path)
     path2 = F.when(path1 == "", F.lit("/")).otherwise(path1)
     return F.concat(scheme_host, path2, query)

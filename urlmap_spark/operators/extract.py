@@ -111,7 +111,7 @@ def href_category_expr(base_col: str | None = None) -> Column:
     # INCLUDING inside absolute hrefs: the resolver applies
     # remove_dot_segments to an absolute reference's path too, which
     # the native branch does not (same fuzz finding)
-    dotseg = href.rlike(r"(^|/)\.{1,2}(/|$)")
+    dotseg = href.rlike(r"(^|/)\.{1,2}([/?#]|$)")
 
     is_abs = ((href.startswith("http://") | href.startswith("https://"))
               & trimmed & ~dotseg)
@@ -120,7 +120,7 @@ def href_category_expr(base_col: str | None = None) -> Column:
     # collapses dot segments of the merged path. Cat 1 never consults
     # the base; cat 2 only uses its scheme://host — both exempt.
     base_ok = (F.lit(True) if base_col is None
-               else ~F.col(base_col).rlike(r"(^|/)\.{1,2}(/|$)"))
+               else ~F.col(base_col).rlike(r"(^|/)\.{1,2}([/?#]|$)"))
     is_rootrel = (
         href.startswith("/") & ~href.startswith("//") & ~dotseg & trimmed
     )
@@ -134,12 +134,12 @@ def href_category_expr(base_col: str | None = None) -> Column:
     r3 = F.substring(href, 3, F.lit(1 << 30))
     is_dotrel = (
         href.startswith("./") & trimmed & ~dslash & ~r3.contains(":")
-        & ~r3.startswith("/") & ~r3.rlike(r"(^|/)\.{1,2}(/|$)") & base_ok
+        & ~r3.startswith("/") & ~r3.rlike(r"(^|/)\.{1,2}([/?#]|$)") & base_ok
     )
     r4 = F.substring(href, 4, F.lit(1 << 30))
     is_parentrel = (
         href.startswith("../") & trimmed & ~dslash & ~r4.contains(":")
-        & ~r4.startswith("/") & ~r4.rlike(r"(^|/)\.{1,2}(/|$)") & base_ok
+        & ~r4.startswith("/") & ~r4.rlike(r"(^|/)\.{1,2}([/?#]|$)") & base_ok
     )
     is_bare = (
         nonempty & trimmed & ~href.contains(":") & ~dotseg & ~dslash
@@ -279,6 +279,9 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
         .withColumn("_nofrag", F.substring_index("_pq", "#", 1))
         .withColumn("_p", F.substring_index("_nofrag", "?", 1))
         .withColumn("_q", F.substring("_nofrag", F.length("_p") + 1, F.lit(1 << 30)))
+        # bare '?' (empty query) is dropped by the kernel's rebuild —
+        # same hypothesis-fuzz finding as normalize_simple_expr
+        .withColumn("_q", F.when(F.col("_q") == "?", F.lit("")).otherwise(F.col("_q")))
         .withColumn("_p", F.when(
             (F.col("_p") != "/") & F.col("_p").endswith("/"),
             F.substring("_p", 1, F.length("_p") - F.lit(1))).otherwise(F.col("_p")))
