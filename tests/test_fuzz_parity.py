@@ -125,3 +125,23 @@ def test_light_host_and_dir_twins_fuzzed(spark, urls):
     for r in rows:
         assert r["h"] == (urlcore.extract_domain(r["url"]) or "").lower(), r["url"]
         assert r["d"] == urlcore._dir_path(urlsplit(r["url"]).path or "/"), r["url"]
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(keys=st.lists(st.tuples(st.integers(0, 1 << 40), st.integers(0, 7)),
+                     min_size=1, max_size=300, unique=True),
+       parts=st.integers(1, 9), start=st.integers(0, 1 << 50))
+def test_global_order_fuzzed(spark, keys, parts, start):
+    """with_global_order (range shuffle + per-partition rank + offsets)
+    must equal a driver-side sort's dense rank for ANY key set,
+    partition count and starting counter."""
+    from urlmap_spark.operators.order import with_global_order
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in keys], "parent_order long, pos int")
+    out, counter = with_global_order(df, ["parent_order", "pos"],
+                                     start=start, num_partitions=parts)
+    got = {(r["parent_order"], r["pos"]): r["order"] for r in out.collect()}
+    want = {k: start + i for i, k in enumerate(sorted(keys))}
+    assert got == want
+    assert counter == start + len(keys)
