@@ -145,3 +145,42 @@ def test_global_order_fuzzed(spark, keys, parts, start):
     want = {k: start + i for i, k in enumerate(sorted(keys))}
     assert got == want
     assert counter == start + len(keys)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(cseed=st.integers(0, 999),
+       n_hosts=st.integers(1, 4),
+       total_pages=st.integers(8, 48),
+       max_depth=st.sampled_from([-1, 1, 2]),
+       path_prefix=st.booleans(),
+       two_seeds=st.booleans(),
+       variant=st.sampled_from(["broadcast", "shuffled", "bloom"]))
+def test_crawl_fuzzed_vs_oracle(spark, cseed, n_hosts, total_pages,
+                                max_depth, path_prefix, two_seeds, variant):
+    """End-to-end crawl fuzz: the full Spark BFS plan — under every
+    seen-dedup strategy (broadcast early anti-join, shuffled exact
+    anti-join, bloom-cogroup prefilter) — must reproduce the Python
+    oracle's (url, depth, order, ok) rows and seen set on GENERATED
+    corpora, not just the curated seeds in test_crawl.py."""
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+    from urlmap_spark.plans.oracle import oracle_bfs
+    from urlmap_spark.sources import corpus as C
+
+    pdf = C.corpus_pandas(seed=cseed, n_hosts=n_hosts,
+                          total_pages=total_pages, with_bytes=False)
+    seeds = [f"https://h0.example-{cseed}.test/"]
+    if two_seeds and n_hosts >= 2:
+        seeds.append(f"https://h1.example-{cseed}.test/")
+    kw = dict(max_depth=max_depth, same_path_prefix=path_prefix)
+    if variant == "shuffled":
+        kw["broadcast_seen_max_urls"] = 0
+    elif variant == "bloom":
+        kw["broadcast_seen_max_urls"] = 0
+        kw["bloom_seen"] = True
+        kw["bloom_buckets"] = 4
+    run = crawl(spark, spark.createDataFrame(pdf), seeds, CrawlConfig(**kw))
+    got = [(r["url"], r["depth"], r["order"], r["ok"])
+           for r in run.results.orderBy("order").collect()]
+    eres, _ = oracle_bfs(pdf, seeds, max_depth=max_depth,
+                         same_path_prefix=path_prefix)
+    assert got == [(r.url, r.depth, r.order, r.ok) for r in eres]
