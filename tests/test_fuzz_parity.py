@@ -184,3 +184,72 @@ def test_crawl_fuzzed_vs_oracle(spark, cseed, n_hosts, total_pages,
     eres, _ = oracle_bfs(pdf, seeds, max_depth=max_depth,
                          same_path_prefix=path_prefix)
     assert got == [(r.url, r.depth, r.order, r.ok) for r in eres]
+
+
+# ---- robots parse+gate fuzz --------------------------------------------
+# An INDEPENDENT pure-Python matcher implementing the reference's
+# scanner + IsAllowed semantics (robots.go:138-178, 189-196, 208-252):
+# UA-group tracking, empty-group/empty-pattern never match, trailing-*
+# prefix, strictly-longer rule wins (first-in-file on length tie),
+# default allow. Fuzzed against parse_robots + robots_gate.
+
+_ROBOT_PATH = st.builds(
+    lambda segs, suf: "/" + "/".join(segs) + suf,
+    st.lists(st.sampled_from(["a", "b", "ab", "a.b", "c9"]), max_size=3),
+    st.sampled_from(["", "/", "*", "/*"]))
+
+_ROBOT_LINE = st.one_of(
+    st.builds(lambda u: f"User-agent: {u}",
+              st.sampled_from(["*", "urlmap", "URLMAP/1.0", "bot", ""])),
+    st.builds(lambda d, p: f"{d}: {p}",
+              st.sampled_from(["Disallow", "Allow", "disallow", "ALLOW"]),
+              st.one_of(_ROBOT_PATH, st.just(""))),
+    st.builds(lambda s: f"Crawl-delay: {s}",
+              st.sampled_from(["1", "2.5", "nope", ""])),
+    st.sampled_from(["# comment", "", "   ", "garbage no colon",
+                     "Sitemap: https://h.test/sm.xml", ": odd", "Noindex: /x"]),
+)
+
+
+def _py_robots_allowed(lines: list[str], user_agent: str, path: str) -> bool:
+    group = None
+    rules: list[tuple[str, str]] = []  # (directive, pattern) in file order
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#") or ":" not in line:
+            continue
+        d, _, v = line.partition(":")
+        d, v = d.strip().lower(), v.strip()
+        if d == "user-agent":
+            group = v
+        elif d in ("allow", "disallow") and group:
+            if group == "*" or group.lower() in user_agent.lower():
+                rules.append((d, v))
+    best_len, allowed = -1, True
+    for d, pat in rules:
+        if not pat:
+            continue
+        stem = pat[:-1] if pat.endswith("*") else pat
+        if path.startswith(stem) and len(pat) > best_len:
+            best_len, allowed = len(pat), (d == "allow")
+    return allowed
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(lines=st.lists(_ROBOT_LINE, min_size=0, max_size=14),
+       paths=st.lists(_ROBOT_PATH, min_size=1, max_size=8, unique=True))
+def test_robots_parse_gate_fuzzed(spark, lines, paths):
+    from urlmap_spark.operators.robots import parse_robots, robots_gate
+
+    host = "rfz.test"
+    raw = spark.createDataFrame(
+        [(host, i, ln) for i, ln in enumerate(lines)] or [(host, 0, "")],
+        "host string, lineno int, line string")
+    rules, _, _ = parse_robots(raw, user_agent="urlmap/1.0")
+    frontier = spark.createDataFrame(
+        [(f"https://{host}{p}",) for p in paths], "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in robots_gate(frontier, rules).collect()}
+    want = {f"https://{host}{p}":
+            _py_robots_allowed(lines, "urlmap/1.0", p) for p in paths}
+    assert got == want
