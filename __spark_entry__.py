@@ -825,6 +825,38 @@ def _q_image_phash_arith(spark, sf_dir):
         .select("image_id", "fmt", "w", "h", "phash", "decode_ok")
 
 
+def _q_image_phash_neardup(spark, sf_dir):
+    """Image-payload near-dup pairs on the input_hint's phash column:
+    the REAL pigeonhole-banded hamming engine (hash_neardup_pairs —
+    shared with simhash_pairs, banding exact so the output IS the
+    hamming<=3 set) over a deterministic arithmetic phash with planted
+    single-bit-flip near-duplicates (doc_id % 7 == 3 clones its
+    predecessor's hash with one flipped bit). DuckDB recomputes every
+    phash and states the pair set as all-pairs bit_count(xor) <= 3."""
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import hash_neardup_pairs
+
+    imgs = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 7 = 3 AND doc_id > 0 "
+            "THEN doc_id - 1 ELSE doc_id END AS base",
+            "CASE WHEN doc_id % 7 = 3 AND doc_id > 0 "
+            "THEN CAST(doc_id % 59 AS INT) ELSE -1 END AS fbit")
+        .selectExpr(
+            "doc_id AS image_id",
+            "((((base*17713+41)%4096)*65536 + ((base*20011+5)%65536))"
+            "*65536 + ((base*14407+29)%65536))*65536 "
+            "+ ((base*24421+11)%65536) AS p0", "fbit")
+        .selectExpr(
+            "image_id",
+            "CASE WHEN fbit >= 0 THEN p0 ^ shiftleft(CAST(1 AS BIGINT), fbit) "
+            "ELSE p0 END AS phash"))
+    return hash_neardup_pairs(imgs, id_col="image_id", hash_col="phash",
+                              max_hamming=3)
+
+
 def _q_audio_chunk_features(spark, sf_dir):
     """Full binary round-trip value check: synthesize a deterministic
     PCM16 container per doc, decode it back, window into 512-sample
@@ -938,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc-winnow-pairs": _q_doc_winnow_pairs,
         "image-decode-meta": _q_image_decode_meta,
         "image-phash-arith": _q_image_phash_arith,
+        "image-phash-neardup": _q_image_phash_neardup,
         "audio-chunk-features": _q_audio_chunk_features,
         "video-frame-sample": _q_video_frame_sample,
         "crawl-bfs": _q_crawl_bfs,
@@ -1509,6 +1542,35 @@ def oracle_sql() -> dict[str, str]:
             FROM fr a JOIN fr b ON a.fp = b.fp AND a.id < b.id
             GROUP BY a.id, b.id
             HAVING count(*) >= 8
+        """,
+        "image-phash-neardup": """
+            -- deterministic arithmetic phash (60-bit, overflow-safe in
+            -- BIGINT) with planted single-bit-flip near-dups; the Spark
+            -- side's pigeonhole banding is exact, so its output IS the
+            -- all-pairs hamming<=3 set stated here
+            WITH ph AS (
+              SELECT doc_id AS image_id,
+                     CASE WHEN doc_id % 7 = 3 AND doc_id > 0
+                          THEN doc_id - 1 ELSE doc_id END AS base,
+                     CASE WHEN doc_id % 7 = 3 AND doc_id > 0
+                          THEN CAST(doc_id % 59 AS INTEGER) ELSE -1 END AS fbit
+              FROM documents WHERE doc_id < 400),
+            h AS (
+              SELECT image_id,
+                     ((((base*17713+41)%4096)*65536 + ((base*20011+5)%65536))
+                      *65536 + ((base*14407+29)%65536))*65536
+                     + ((base*24421+11)%65536) AS p0, fbit
+              FROM ph),
+            hx AS (
+              SELECT image_id,
+                     CASE WHEN fbit >= 0
+                          THEN xor(p0, (CAST(1 AS BIGINT) << fbit))
+                          ELSE p0 END AS phash
+              FROM h)
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+            FROM hx a JOIN hx b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "image-phash-arith": """
             -- regenerate every ramp pixel from the closed form and

@@ -366,3 +366,25 @@ def test_fingerprint_overlap_pairs_and_df_cap(spark):
         df, min_shared=2, max_fp_df=2).collect()}
     assert (10, 11) in capped
     assert not any(a < 6 and b < 6 for a, b in capped)
+
+
+def test_hash_neardup_pairs_equals_brute_force(spark):
+    """Image-payload phash dedup: banded candidates + exact verify must
+    equal all-pairs hamming over a pseudo-random 64-bit hash column
+    with planted single/triple-bit flips."""
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(-(1 << 63), 1 << 63, size=120, dtype=np.int64)
+    hashes[40] = hashes[39] ^ np.int64(1 << 17)            # hamming 1
+    hashes[80] = hashes[79] ^ np.int64((1 << 3) | (1 << 40) | np.int64(1 << 62))
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "image_id long, phash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.hash_neardup_pairs(df, max_hamming=3).collect()}
+    want = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin((int(hashes[i]) ^ int(hashes[j])) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
+    assert got[(39, 40)] == 1 and got[(79, 80)] == 3

@@ -366,13 +366,34 @@ def simhash_pairs(
     banding is EXACT (keys are the hash's own bits, no rehash), so the
     output is precisely {pairs : hamming <= max_hamming} — which is
     what the SQL oracle of the arith-hash variant states all-pairs."""
+    sh = simhash_column(df, id_col, text_col, hash_expr=hash_expr)
+    return hash_neardup_pairs(sh, id_col="id", hash_col="simhash",
+                              max_hamming=max_hamming)
+
+
+def hash_neardup_pairs(
+    df: DataFrame, id_col: str = "image_id", hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by hamming distance over an ALREADY-COMPUTED
+    64-bit hash column — the image-payload dedup primitive (phash from
+    the corpus/input_hint schema) and the shared banding engine behind
+    simhash_pairs.
+
+    Pigeonhole banding: split the 64 bits into (max_hamming+1) bands;
+    any pair within the hamming ball agrees on >= 1 full band, so
+    candidates come from same-(band, key) buckets only — never
+    all-pairs, and the bucket join shuffles (id, hash, key) ints only.
+    The banding is EXACT (keys are the hash's own bits, no rehash), so
+    the output is precisely {pairs : hamming <= max_hamming} — fully
+    reproducible by a SQL oracle as all-pairs bit_count(xor(...)).
+    JVM-native end to end (no Python rows)."""
     nb = max_hamming + 1
     width = 64 // nb
-    sh = simhash_column(df, id_col, text_col, hash_expr=hash_expr)
-    banded = sh.select(
-        "id", "simhash",
+    banded = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), bi * width) % F.lit(1 << width)
+            F.shiftrightunsigned(F.col(hash_col), bi * width) % F.lit(1 << width)
             for bi in range(nb)
         ])).alias("band", "key"),
     )
@@ -382,7 +403,7 @@ def simhash_pairs(
               (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
               & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+                F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
