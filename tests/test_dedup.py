@@ -388,3 +388,26 @@ def test_hash_neardup_pairs_equals_brute_force(spark):
                 want[(i, j)] = d
     assert got == want
     assert got[(39, 40)] == 1 and got[(79, 80)] == 3
+
+
+def test_hash_neardup_band_df_cap(spark):
+    """Hot-bucket guard: a degenerate hash value shared by many rows
+    (the all-zero phash of decode failures) stops generating pairs once
+    its buckets exceed max_band_df; near-dups agreeing on rare bands
+    survive the cap."""
+    rng = np.random.default_rng(11)
+    hashes = list(rng.integers(-(1 << 63), 1 << 63, size=40, dtype=np.int64))
+    hashes[20] = hashes[19] ^ np.int64(1 << 9)     # rare-band near-dup
+    hashes += [np.int64(0)] * 12                   # hot degenerate value
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "image_id long, phash long")
+    capped = {(r["id_a"], r["id_b"])
+              for r in D.hash_neardup_pairs(df, max_hamming=3,
+                                            max_band_df=5).collect()}
+    assert (19, 20) in capped
+    # the 12 identical zero-hashes pair only through hot buckets
+    assert not any(a >= 40 and b >= 40 for a, b in capped)
+    # uncapped keeps the full C(12,2) zero-hash clique
+    full = {(r["id_a"], r["id_b"])
+            for r in D.hash_neardup_pairs(df, max_hamming=3).collect()}
+    assert sum(1 for a, b in full if a >= 40 and b >= 40) == 66

@@ -373,7 +373,7 @@ def simhash_pairs(
 
 def hash_neardup_pairs(
     df: DataFrame, id_col: str = "image_id", hash_col: str = "phash",
-    max_hamming: int = 3,
+    max_hamming: int = 3, max_band_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by hamming distance over an ALREADY-COMPUTED
     64-bit hash column — the image-payload dedup primitive (phash from
@@ -387,7 +387,19 @@ def hash_neardup_pairs(
     The banding is EXACT (keys are the hash's own bits, no rehash), so
     the output is precisely {pairs : hamming <= max_hamming} — fully
     reproducible by a SQL oracle as all-pairs bit_count(xor(...)).
-    JVM-native end to end (no Python rows)."""
+    JVM-native end to end (no Python rows).
+
+    max_band_df — the 100 TB join guard (same pattern as
+    ngram_jaccard_pairs' max_shingle_df): a band key shared by k rows
+    contributes k^2/2 candidate pairs, and a 16-bit band has only 65536
+    distinct values, so a degenerate hash population (e.g. the all-zero
+    phash of decode failures, or any corpus-wide boilerplate bit
+    pattern) turns one bucket quadratic. With a cap, buckets whose key
+    is shared by more than max_band_df rows are dropped from candidate
+    generation — pairs supported ONLY by hot buckets are lost
+    (documented trade, exactly like the shingle cap); planted/typical
+    near-dups whose agreeing band is rare are unaffected. Default None
+    keeps the exact pair set (bounded inputs / the oracle path)."""
     nb = max_hamming + 1
     width = 64 // nb
     banded = df.select(
@@ -397,6 +409,11 @@ def hash_neardup_pairs(
             for bi in range(nb)
         ])).alias("band", "key"),
     )
+    if max_band_df is not None:
+        cool = banded.groupBy("band", "key") \
+            .agg(F.count("*").alias("_df")) \
+            .filter(F.col("_df") <= max_band_df).drop("_df")
+        banded = banded.join(cool, ["band", "key"])
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"),
