@@ -825,6 +825,25 @@ def _q_image_phash_arith(spark, sf_dir):
         .select("image_id", "fmt", "w", "h", "phash", "decode_ok")
 
 
+def _q_stream_window_metrics(spark, sf_dir):
+    """The streaming windowed-metrics operator run on its batch twin
+    (unified Dataset API: withWatermark is a no-op in batch, the
+    window+agg plan is identical): per-event_type fetch counts over
+    1-hour event-time tumbling windows. DuckDB reproduces the windows
+    with time_bucket and every count/sum exactly."""
+    _ship_package(spark)
+    from urlmap_spark.streaming.metrics import windowed_host_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_host_metrics(ev, ts_col="ts", key_col="event_type",
+                                window_dur="1 hour", watermark="1 hour",
+                                ok_expr=F.col("value") >= 5.0)
+    return out.select(
+        F.expr("to_unix_timestamp(window_start)").alias("w_start"),
+        F.expr("to_unix_timestamp(window_end)").alias("w_end"),
+        "event_type", "fetches", "crawled")
+
+
 def _q_image_phash_neardup(spark, sf_dir):
     """Image-payload near-dup pairs on the input_hint's phash column:
     the REAL pigeonhole-banded hamming engine (hash_neardup_pairs —
@@ -971,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image-decode-meta": _q_image_decode_meta,
         "image-phash-arith": _q_image_phash_arith,
         "image-phash-neardup": _q_image_phash_neardup,
+        "stream-window-metrics": _q_stream_window_metrics,
         "audio-chunk-features": _q_audio_chunk_features,
         "video-frame-sample": _q_video_frame_sample,
         "crawl-bfs": _q_crawl_bfs,
@@ -1542,6 +1562,18 @@ def oracle_sql() -> dict[str, str]:
             FROM fr a JOIN fr b ON a.fp = b.fp AND a.id < b.id
             GROUP BY a.id, b.id
             HAVING count(*) >= 8
+        """,
+        "stream-window-metrics": """
+            -- batch twin of the streaming watermarked window agg:
+            -- 1-hour tumbling event-time windows per event_type
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
+                   CAST(epoch(time_bucket(INTERVAL '1 hour', ts)
+                              + INTERVAL '1 hour') AS BIGINT) AS w_end,
+                   event_type,
+                   count(*) AS fetches,
+                   CAST(sum(CASE WHEN value >= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS crawled
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "image-phash-neardup": """
             -- deterministic arithmetic phash (60-bit, overflow-safe in

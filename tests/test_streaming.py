@@ -137,3 +137,69 @@ def test_host_quota_stream_state_survives_batches(spark, tmp_path):
     assert rows["u4"] == (True, 1)
     # independent host unaffected
     assert rows["v0"][0] is True and rows["v1"][0] is True
+
+
+def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time tumbling windows over a file-source stream: finalized
+    windows emit once in append mode, and a row arriving AFTER the
+    watermark passed its window is dropped (bounded state — the
+    continuous-crawl requirement)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from urlmap_spark.streaming.metrics import windowed_host_metrics
+
+    inp = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [(t0 + dt.timedelta(minutes=m), h, ok) for m, h, ok in specs]
+
+    mtime = [1_700_000_000]
+    stamped: set[str] = set()
+
+    def write(batch):
+        spark.createDataFrame(batch, "ts timestamp, host string, ok boolean") \
+            .coalesce(1).write.mode("append").parquet(inp)
+        # FileStreamSource orders batches by modification time; fast
+        # consecutive writes tie at ms granularity, so pin strictly
+        # increasing mtimes on each write's new files to make arrival
+        # order deterministic
+        import glob as _g
+        mtime[0] += 60
+        for f in _g.glob(os.path.join(inp, "*.parquet")):
+            if f not in stamped:
+                os.utime(f, (mtime[0], mtime[0]))
+                stamped.add(f)
+
+    # batch 1: two windows' worth of on-time events
+    write(rows((1, "a.test", True), (3, "a.test", False), (12, "b.test", True)))
+    # batch 2: far-future event — watermark will pass windows
+    # [00:00,00:10) and [00:10,00:20) at the NEXT batch boundary
+    write(rows((120, "a.test", True)))
+    # batch 3 runs with watermark 01:50: evicts + emits both early
+    # windows (watermark state-cleanup happens a batch after the
+    # watermark advances — documented Spark semantics)
+    write(rows((121, "b.test", True)))
+    # batch 4: LATE row for the already-evicted [00:00,00:10) window —
+    # must be dropped, not merged and not re-emitted
+    write(rows((2, "a.test", True)))
+
+    stream = spark.readStream.schema("ts timestamp, host string, ok boolean") \
+        .option("maxFilesPerTrigger", "1").parquet(inp)
+    agg = windowed_host_metrics(stream, key_col="host",
+                                window_dur="10 minutes", watermark="10 minutes",
+                                ok_expr=F.col("ok"))
+    q = agg.writeStream.format("memory").queryName("winmet") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress if p["stateOperators"])
+
+    got = {(r["window_start"].minute, r["host"]): (r["fetches"], r["crawled"])
+           for r in spark.sql("SELECT * FROM winmet").collect()}
+    # finalized windows carry ONLY the on-time rows; the 02:00/02:01
+    # windows are still open (never finalized, so never emitted)
+    assert got == {(0, "a.test"): (2, 1), (10, "b.test"): (1, 1)}
+    assert dropped == 1  # the late row hit the watermark filter
