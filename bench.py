@@ -262,7 +262,8 @@ def run_headline(spark) -> dict[str, float]:
         "first-wins-dedup", "url-normalize", "extract-explode",
         "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-capped",
         "embed-cosine-topk", "embed-ann-lsh", "text-langid", "text-quality",
-        "token-count", "image-decode-meta",
+        "token-count", "image-decode-meta", "image-phash-neardup",
+        "stream-window-metrics",
     ]
     qs = E.queries()
     out = {}
