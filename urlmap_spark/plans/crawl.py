@@ -113,6 +113,11 @@ class CrawlConfig:
                                              # front of the exact seen anti-join
     bloom_buckets: int = 32
     bloom_bits: int = 1 << 22                # 512 KiB per bucket at default
+    seen_filter: str = "bloom"               # "bloom" | "cuckoo" — which
+                                             # partitioned prefilter structure
+                                             # backs the seen probe (north_rule
+                                             # names both; operators/cuckoo.py
+                                             # adds deletion support)
     broadcast_seen_max_urls: int = 4_000_000  # while |seen| (known EXACTLY
                                              # driver-side: it equals
                                              # order_counter) is under this,
@@ -282,12 +287,20 @@ def crawl(
         # seen is kept as a list of materialized deltas (union on demand):
         # no per-round checkpoint of the whole set, compacted past a threshold
         seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
-        bloom_cfg = BloomConfig(cfg.bloom_buckets, cfg.bloom_bits) if cfg.bloom_seen else None
+        if cfg.seen_filter == "cuckoo":
+            from ..operators import cuckoo as _fmod
+            _mk_filter_cfg = _fmod.CuckooConfig
+        elif cfg.seen_filter == "bloom":
+            from ..operators import seen as _fmod
+            _mk_filter_cfg = BloomConfig
+        else:
+            raise ValueError(f"unknown seen_filter: {cfg.seen_filter!r}")
+        bloom_cfg = _mk_filter_cfg(cfg.bloom_buckets, cfg.bloom_bits) if cfg.bloom_seen else None
         filters: DataFrame | None = None
         if cfg.bloom_seen:
             # (re)build from whatever seen state we started with — on
             # resume this folds all committed deltas into fresh filters
-            filters = build_filters(seen_parts[0], bloom_cfg).localCheckpoint(eager=True)
+            filters = _fmod.build_filters(seen_parts[0], bloom_cfg).localCheckpoint(eager=True)
         total_skipped = 0
         politeness = (cfg.host_quota is not None or cfg.default_quota is not None
                       or cfg.global_cap is not None)
@@ -529,7 +542,7 @@ def crawl(
                     .localCheckpoint(eager=True)
             else:
                 deduped = first_wins(cand, "url", ["parent_order", "pos"])
-                new = seen_anti_join(deduped, seen, filters, bloom_cfg) \
+                new = _fmod.seen_anti_join(deduped, seen, filters, bloom_cfg) \
                     .localCheckpoint(eager=True)
             tick("extract_dedup_ckpt")
 
@@ -623,8 +636,8 @@ def crawl(
                 frontier = next_frontier
 
             if cfg.bloom_seen:
-                filters = build_filters(new.select("url"), bloom_cfg,
-                                        existing=filters).localCheckpoint(eager=True)
+                filters = _fmod.build_filters(new.select("url"), bloom_cfg,
+                                              existing=filters).localCheckpoint(eager=True)
             if len(seen_parts) > 64:  # bound the union width on deep crawls
                 compacted = seen_parts[0]
                 for p in seen_parts[1:]:
