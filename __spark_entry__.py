@@ -581,6 +581,51 @@ def _q_seen_bloom(spark, sf_dir):
     return seen_anti_join(cand, seen, filters, cfg).select("o_orderkey", "url")
 
 
+def _q_seen_cuckoo(spark, sf_dir):
+    """Cuckoo-prefiltered anti-join — same NOT IN oracle as the bloom
+    entry (both prefilters are execution strategies over the exact
+    anti-join, never a semantics change)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.cuckoo import (
+        CuckooConfig, build_filters, seen_anti_join)
+
+    orders = _t(spark, sf_dir, "orders")
+    cand = orders.select(
+        F.concat(F.lit("https://o"), (F.col("o_orderkey") % 5000).cast("string"),
+                 F.lit(".test/")).alias("url"), "o_orderkey")
+    seen = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("https://o"), F.col("c_custkey").cast("string"),
+                 F.lit(".test/")).alias("url"))
+    cfg = CuckooConfig(n_buckets=8, m_bits=1 << 16)
+    filters = build_filters(seen, cfg)
+    return seen_anti_join(cand, seen, filters, cfg).select("o_orderkey", "url")
+
+
+def _q_seen_cuckoo_delete(spark, sf_dir):
+    """Deletion path value check: insert seen ∪ extra, remove extra
+    (paired with the authoritative-table delete, i.e. the seen frame
+    never contained extra), then anti-join. Removing only-ever-inserted
+    keys cannot create false negatives — each colliding resident keeps
+    its own stored copy — so the result still equals plain NOT IN seen."""
+    _ship_package(spark)
+    from urlmap_spark.operators.cuckoo import (
+        CuckooConfig, build_filters, remove_urls, seen_anti_join)
+
+    orders = _t(spark, sf_dir, "orders")
+    cand = orders.select(
+        F.concat(F.lit("https://o"), (F.col("o_orderkey") % 5000).cast("string"),
+                 F.lit(".test/")).alias("url"), "o_orderkey")
+    seen = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("https://o"), F.col("c_custkey").cast("string"),
+                 F.lit(".test/")).alias("url"))
+    extra = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("https://retired-s"), F.col("s_suppkey").cast("string"),
+                 F.lit(".test/")).alias("url"))
+    cfg = CuckooConfig(n_buckets=8, m_bits=1 << 16)
+    filters = remove_urls(build_filters(seen.unionByName(extra), cfg), extra, cfg)
+    return seen_anti_join(cand, seen, filters, cfg).select("o_orderkey", "url")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from urlmap_spark.operators.dedup import exact_dedup
 
@@ -965,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract-same-domain": _q_extract_same_domain,
         "robots-gate": _q_robots_gate,
         "seen-bloom-anti-join": _q_seen_bloom,
+        "seen-cuckoo-anti-join": _q_seen_cuckoo,
+        "seen-cuckoo-delete": _q_seen_cuckoo_delete,
         # training-data pipeline operators
         "dedup-exact": _q_dedup_exact,
         "dedup-ngram-jaccard": _q_dedup_ngram_jaccard,
@@ -1330,6 +1377,16 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "seen-bloom-anti-join": """
+            SELECT o_orderkey, 'https://o' || (o_orderkey % 5000) || '.test/' AS url
+            FROM orders
+            WHERE (o_orderkey % 5000) NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "seen-cuckoo-anti-join": """
+            SELECT o_orderkey, 'https://o' || (o_orderkey % 5000) || '.test/' AS url
+            FROM orders
+            WHERE (o_orderkey % 5000) NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "seen-cuckoo-delete": """
             SELECT o_orderkey, 'https://o' || (o_orderkey % 5000) || '.test/' AS url
             FROM orders
             WHERE (o_orderkey % 5000) NOT IN (SELECT c_custkey FROM customer)
