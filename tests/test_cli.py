@@ -197,3 +197,24 @@ def test_cli_invalid_seed_clean_error(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert "error:" in err and "notaurl" in err
     assert "Traceback" not in err
+
+
+def test_cli_seen_filter_cuckoo_matches_bloom(spark, tmp_path, capsys):
+    """--seen-filter cuckoo produces the identical URL set and round
+    structure as the default bloom (the prefilter is an execution
+    strategy over the exact anti-join, never a semantics change)."""
+    corpus_p = str(tmp_path / "corpus.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+
+    outs = {}
+    for name in ("bloom", "cuckoo"):
+        out_p = str(tmp_path / f"out-{name}")
+        rc = cli.main([
+            "https://h.test/", "--corpus", corpus_p, "--no-path-prefix",
+            "--seen-filter", name, "--output", out_p,
+        ], _spark=spark)
+        assert rc == 0
+        import glob
+        outs[name] = open(glob.glob(out_p + "/part-*")[0]).read().splitlines()
+    assert outs["cuckoo"] == outs["bloom"]
+    assert len(outs["cuckoo"]) == 7

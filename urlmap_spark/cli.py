@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "auto detection for those hosts)")
     p.add_argument("--js-threshold", type=float, default=0.5,
                    help="SPA detection threshold 0.0-1.0 (reference --js-threshold)")
+    p.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
+                   default="bloom",
+                   help="partitioned prefilter backing the URL-seen probe "
+                        "(north_rule: 'bloom/cuckoo URL-seen'); cuckoo adds "
+                        "O(1) deletion for seen-set retirement")
     p.add_argument("--checkpoint", help="checkpoint directory (enables resume)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verify-payload", action="store_true",
@@ -179,6 +184,7 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         host_quota=host_quota,
         default_quota=args.quota or None,
         global_cap=args.rate_limit or None,
+        seen_filter=args.seen_filter,
         checkpoint_dir=args.checkpoint,
         verify_payload=args.verify_payload,
         frontier_partitions=args.concurrent or None,
