@@ -298,9 +298,31 @@ def crawl(
         bloom_cfg = _mk_filter_cfg(cfg.bloom_buckets, cfg.bloom_bits) if cfg.bloom_seen else None
         filters: DataFrame | None = None
         if cfg.bloom_seen:
-            # (re)build from whatever seen state we started with — on
-            # resume this folds all committed deltas into fresh filters
-            filters = _fmod.build_filters(seen_parts[0], bloom_cfg).localCheckpoint(eager=True)
+            persisted = None
+            if resume and catalog is not None and catalog.last_round() is not None:
+                # the committed seen_filters cover exactly the committed
+                # seen set (folded pre-commit), so a matching-config
+                # resume loads the blobs instead of rebuilding from the
+                # full seen history — at the 10^10-URL design point the
+                # rebuild is a full-table scan, the load is ~MBs/bucket
+                last = catalog.last_round()
+                want = [cfg.seen_filter, cfg.bloom_buckets, cfg.bloom_bits]
+                if catalog.read_metrics(last).get("seen_filter_cfg") == want:
+                    try:
+                        persisted = catalog.read(spark, last, "seen_filters")
+                        if seeds:
+                            # extra resume seeds joined `seen` above, so
+                            # they must enter the blobs too — a filter
+                            # miss bypasses the exact anti-join entirely
+                            persisted = _fmod.build_filters(
+                                spark.createDataFrame([(s,) for s in seeds],
+                                                      "url string"),
+                                bloom_cfg, existing=persisted)
+                        persisted = persisted.localCheckpoint(eager=True)
+                    except Exception:  # noqa: BLE001 — older checkpoint layout
+                        persisted = None
+            filters = persisted if persisted is not None else \
+                _fmod.build_filters(seen_parts[0], bloom_cfg).localCheckpoint(eager=True)
         total_skipped = 0
         politeness = (cfg.host_quota is not None or cfg.default_quota is not None
                       or cfg.global_cap is not None)
@@ -590,6 +612,10 @@ def crawl(
                 "order_counter": order_counter,
                 "wall_s": round(round_wall, 3),
                 **({"retried": n_retry} if has_attempt else {}),
+                # lets resume/maintenance validate the persisted
+                # seen_filters blobs before trusting them
+                **({"seen_filter_cfg": [cfg.seen_filter, cfg.bloom_buckets,
+                                        cfg.bloom_bits]} if cfg.bloom_seen else {}),
             }
             if agg is not None:
                 m.update({
@@ -602,6 +628,16 @@ def crawl(
                     **({"rendered": int(agg["rendered"] or 0)} if dispatch else {}),
                 })
             total_skipped += skipped_depth + int(blocked_robots)
+
+            if cfg.bloom_seen:
+                # fold the round's delta BEFORE the commit so the
+                # persisted seen_filters cover exactly the committed
+                # seen set — a resume can then load the blobs directly
+                # instead of rebuilding from 10^10 seen rows (a stale
+                # pre-delta blob would false-negative this round's URLs
+                # and re-enqueue duplicates)
+                filters = _fmod.build_filters(new.select("url"), bloom_cfg,
+                                              existing=filters).localCheckpoint(eager=True)
 
             if catalog is not None:
                 lineage = next_frontier.groupBy(
@@ -635,9 +671,6 @@ def crawl(
                 seen_parts.append(new.select("url"))
                 frontier = next_frontier
 
-            if cfg.bloom_seen:
-                filters = _fmod.build_filters(new.select("url"), bloom_cfg,
-                                              existing=filters).localCheckpoint(eager=True)
             if len(seen_parts) > 64:  # bound the union width on deep crawls
                 compacted = seen_parts[0]
                 for p in seen_parts[1:]:

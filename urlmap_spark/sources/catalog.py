@@ -92,7 +92,9 @@ class RoundCatalog:
         return max(vs) if vs else None
 
     def compact(self, spark: SparkSession, name: str = "seen_delta",
-                num_files: int | None = None, vacuum: bool = False) -> int | None:
+                num_files: int | None = None, vacuum: bool = False,
+                minus: DataFrame | None = None,
+                minus_key: str = "url") -> int | None:
         """Fold every committed per-round `name` table into ONE snapshot
         (compact/<name>/v=<last_round>/) — the Iceberg rewrite_data_files
         analog for this shim. A 1000-round crawl otherwise accretes
@@ -104,12 +106,17 @@ class RoundCatalog:
         read_union automatically serves snapshot + post-snapshot deltas.
         vacuum=True removes the per-round table dirs the snapshot covers
         (the round markers and other tables stay; read_union skips the
-        missing subdirs). Returns the snapshot round, or None if there
-        is nothing to compact."""
+        missing subdirs). `minus` anti-joins rows out of the snapshot on
+        `minus_key` — the delete path of the Iceberg analogy
+        (row-level DELETE becomes a rewrite here; used by seen-set
+        retirement). Returns the snapshot round, or None if there is
+        nothing to compact."""
         last = self.last_round()
         if last is None:
             return None
         df = self.read_union(spark, name, upto=last)
+        if minus is not None:
+            df = df.join(minus.select(minus_key), minus_key, "left_anti")
         if num_files:
             df = df.coalesce(num_files)
         vdir = os.path.join(self._cdir(name), f"v={last:04d}")
