@@ -127,8 +127,26 @@ def build_filters(urls: DataFrame, cfg: CuckooConfig,
         table = np.zeros((cfg.n_rows, cfg.bucket_slots), dtype=np.uint16)
         stash: list = []
         fp, r1, _ = _fp_rows(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), cfg)
-        for i in range(len(fp)):
-            _insert_one(table, stash, int(r1[i]), int(fp[i]), cfg, i)
+        # vectorized bulk placement (valid because the table is EMPTY
+        # here): each entry's rank within its target row claims a free
+        # slot directly; only rank-overflow entries (a few % at design
+        # occupancy) take the sequential eviction loop. Placement
+        # differs from pure-sequential insertion but membership — the
+        # only observable through the probe — is identical: every
+        # fingerprint lands in one of its two legal rows or the stash.
+        if len(fp):
+            order = np.argsort(r1, kind="stable")
+            rs, fs = r1[order], fp[order]
+            boundaries = np.flatnonzero(np.diff(rs)) + 1
+            run_start = np.concatenate(([0], boundaries))
+            run_len = np.diff(np.concatenate((run_start, [len(rs)])))
+            rank = np.arange(len(rs)) - np.repeat(run_start, run_len)
+            direct = rank < cfg.bucket_slots
+            table[rs[direct], rank[direct]] = fs[direct]
+            spill_r, spill_f = rs[~direct], fs[~direct]
+            for i in range(len(spill_f)):
+                _insert_one(table, stash, int(spill_r[i]), int(spill_f[i]),
+                            cfg, i)
         return pd.DataFrame({"bucket": [int(key[0])],
                              "filter": [_serialize(table, stash)]})
 
