@@ -106,3 +106,20 @@ def test_crawl_with_cuckoo_seen_equals_plain(spark):
     b = [(r["url"], r["depth"], r["order"]) for r in
          ck.results.orderBy("order").collect()]
     assert a == b
+
+
+def test_remove_folds_unmerged_delta_blobs(spark):
+    """Deletion against a bucket holding several unmerged blobs must
+    fold them first — deleting from only one blob would leave the
+    fingerprint's copy in another blob findable."""
+    cfg = CuckooConfig(n_buckets=2, m_bits=1 << 12)
+    f1 = build_filters(_urls(spark, [f"https://h.test/{i}" for i in range(50)]), cfg)
+    f2 = build_filters(_urls(spark, [f"https://h.test/{i}" for i in range(50, 100)]), cfg)
+    both = f1.unionByName(f2)  # two blobs per bucket, deliberately unmerged
+    gone = [f"https://h.test/{i}" for i in range(50, 60)]
+    pruned = remove_urls(both, _urls(spark, gone), cfg)
+    dnew, _ = split_candidates(_urls(spark, gone), pruned, cfg)
+    assert dnew.count() >= 8  # bulk cleared (fp collisions allowed)
+    kept = [f"https://h.test/{i}" for i in list(range(50)) + list(range(60, 100))]
+    dkept, _ = split_candidates(_urls(spark, kept), pruned, cfg)
+    assert dkept.count() == 0  # no survivor false negatives

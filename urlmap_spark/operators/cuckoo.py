@@ -193,6 +193,12 @@ def remove_urls(filters: DataFrame, urls: DataFrame,
             return pd.DataFrame({"bucket": [], "filter": []})
         table, st0 = _deserialize(bytes(fpdf["filter"].iloc[0]))
         stash = list(st0)
+        for b in fpdf["filter"].iloc[1:]:  # fold unmerged deltas first —
+            t2, s2 = _deserialize(bytes(b))  # deleting from only one blob
+            rows, cols = np.nonzero(t2)      # would leave the copy in the
+            for r, c in zip(rows, cols):     # other blob findable
+                _insert_one(table, stash, int(r), int(t2[r, c]), cfg, int(r))
+            stash.extend(int(x) for x in s2)
         if len(updf):
             fp, r1, r2 = _fp_rows(updf["_h1"].to_numpy(),
                                   updf["_h2"].to_numpy(), cfg)
