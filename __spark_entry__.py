@@ -601,6 +601,33 @@ def _q_seen_cuckoo(spark, sf_dir):
     return seen_anti_join(cand, seen, filters, cfg).select("o_orderkey", "url")
 
 
+def _q_seen_disk(spark, sf_dir):
+    """Disk-backed exact anti-join (operators/diskseen.py): the seen
+    side is persisted in its _ub bucket layout and read task-side —
+    the only exchange ships candidates + a 4-byte bucket key, so the
+    per-round shuffle is O(candidates) independent of |seen| (the
+    10^10 exact path; storage-partitioned-join analog). Same NOT IN
+    oracle as the bloom/cuckoo entries: an execution strategy, never a
+    semantics change."""
+    import os
+    import tempfile
+
+    _ship_package(spark)
+    from urlmap_spark.operators.diskseen import disk_anti_join, with_bucket
+
+    orders = _t(spark, sf_dir, "orders")
+    cand = orders.select(
+        F.concat(F.lit("https://o"), (F.col("o_orderkey") % 5000).cast("string"),
+                 F.lit(".test/")).alias("url"), "o_orderkey")
+    seen = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("https://o"), F.col("c_custkey").cast("string"),
+                 F.lit(".test/")).alias("url"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"urlmap_q_diskseen_{tag}")
+    with_bucket(seen, 16).write.mode("overwrite").partitionBy("_ub").parquet(path)
+    return disk_anti_join(cand, [path], 16).select("o_orderkey", "url")
+
+
 def _q_seen_cuckoo_delete(spark, sf_dir):
     """Deletion path value check: insert seen ∪ extra, remove extra
     (paired with the authoritative-table delete, i.e. the seen frame
@@ -1010,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract-same-domain": _q_extract_same_domain,
         "robots-gate": _q_robots_gate,
         "seen-bloom-anti-join": _q_seen_bloom,
+        "seen-disk-anti-join": _q_seen_disk,
         "seen-cuckoo-anti-join": _q_seen_cuckoo,
         "seen-cuckoo-delete": _q_seen_cuckoo_delete,
         # training-data pipeline operators
@@ -1382,6 +1410,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE (o_orderkey % 5000) NOT IN (SELECT c_custkey FROM customer)
         """,
         "seen-cuckoo-anti-join": """
+            SELECT o_orderkey, 'https://o' || (o_orderkey % 5000) || '.test/' AS url
+            FROM orders
+            WHERE (o_orderkey % 5000) NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "seen-disk-anti-join": """
             SELECT o_orderkey, 'https://o' || (o_orderkey % 5000) || '.test/' AS url
             FROM orders
             WHERE (o_orderkey % 5000) NOT IN (SELECT c_custkey FROM customer)

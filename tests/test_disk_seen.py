@@ -1,0 +1,149 @@
+"""Disk-backed seen anti-join (operators/diskseen.py): exactness vs the
+plain anti-join, crawl parity under the disk strategy, the shuffle-
+volume plan property, resume + compaction interplay, and the
+mixed-layout resume guard."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from urlmap_spark.operators.diskseen import (disk_anti_join,
+                                             disk_seen_anti_join,
+                                             with_bucket)
+from urlmap_spark.plans.crawl import CrawlConfig, crawl
+from urlmap_spark.sources import corpus as C
+from urlmap_spark.sources.catalog import RoundCatalog
+
+
+def _urls(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "url string")
+
+
+def _write_bucketed(df, path, n_buckets):
+    with_bucket(df, n_buckets).write.mode("overwrite") \
+        .partitionBy("_ub").parquet(path)
+
+
+def test_disk_anti_join_equals_plain(spark, tmp_path):
+    seen_urls = [f"https://h{i % 7}.test/p{i}" for i in range(300)]
+    cands = [f"https://h{i % 9}.test/p{i}" for i in range(150, 500)]
+    seen = _urls(spark, seen_urls)
+    p1 = str(tmp_path / "d1")
+    p2 = str(tmp_path / "d2")
+    # two delta dirs (split the seen set) — the probe folds all dirs
+    _write_bucketed(seen.filter(F.xxhash64("url") % 2 == 0), p1, 16)
+    _write_bucketed(seen.filter(F.xxhash64("url") % 2 != 0), p2, 16)
+    cdf = _urls(spark, cands).withColumn("k", F.length("url"))
+
+    got = {(r["url"], r["k"]) for r in
+           disk_anti_join(cdf, [p1, p2], 16).collect()}
+    want = {(r["url"], r["k"]) for r in
+            cdf.join(seen, "url", "left_anti").collect()}
+    assert got == want and len(want) > 0
+
+
+def test_disk_anti_join_empty_dirs_and_extra(spark, tmp_path):
+    cands = _urls(spark, [f"https://x.test/{i}" for i in range(20)])
+    # no dirs at all: pass-through
+    assert disk_anti_join(cands, [], 8).count() == 20
+    # missing dir path: skipped
+    assert disk_anti_join(cands, [str(tmp_path / "nope")], 8).count() == 20
+    # extra_seen broadcast backstop removes rows dirs cannot cover
+    out = disk_seen_anti_join(
+        cands, [], 8, extra_seen=_urls(spark, ["https://x.test/3"]))
+    assert out.count() == 19
+
+
+def test_disk_anti_join_plan_shuffles_candidates_only(spark, tmp_path):
+    """The only exchange hashes the 4-byte bucket key of the CANDIDATE
+    side; the seen table appears nowhere in the plan (it is read inside
+    the tasks), so per-round shuffle volume is O(candidates)."""
+    seen = _urls(spark, [f"https://h.test/p{i}" for i in range(100)])
+    p = str(tmp_path / "seen")
+    _write_bucketed(seen, p, 32)
+    out = disk_anti_join(_urls(spark, [f"https://h.test/p{i}"
+                                       for i in range(50, 200)]), [p], 32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1
+    assert "_ub" in plan and "seen" not in plan.lower().replace("flatmapgroups", "")
+
+
+def test_disk_crawl_equals_plain_crawl(spark, tmp_path):
+    """Full-crawl parity: the disk strategy (broadcast path disabled so
+    every round exercises the bucket probe) reproduces the exact
+    (url, depth, order) sequence, with and without a prefilter."""
+    pdf = C.corpus_pandas(seed=7, n_hosts=3, total_pages=40, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed_url = "https://h0.example-7.test/"
+    plain = crawl(spark, cdf, seed_url,
+                  CrawlConfig(max_depth=3, same_path_prefix=False))
+    want = [(r["url"], r["depth"], r["order"])
+            for r in plain.results.orderBy("order").collect()]
+
+    for extra in ({}, {"bloom_seen": True, "bloom_buckets": 8,
+                       "bloom_bits": 1 << 16},
+                  {"bloom_seen": True, "seen_filter": "cuckoo",
+                   "bloom_buckets": 8, "bloom_bits": 1 << 16}):
+        ck = str(tmp_path / f"ck_{len(extra)}_{extra.get('seen_filter', '')}")
+        disk = crawl(spark, cdf, seed_url, CrawlConfig(
+            max_depth=3, same_path_prefix=False, checkpoint_dir=ck,
+            broadcast_seen_max_urls=0, disk_seen=True, disk_seen_buckets=8,
+            **extra))
+        got = [(r["url"], r["depth"], r["order"])
+               for r in disk.results.orderBy("order").collect()]
+        assert got == want, f"disk-seen parity broken for {extra}"
+        # the committed layout really is bucketed
+        cat = RoundCatalog(ck)
+        bucketed = [d for d in cat.table_paths("seen_delta")
+                    if any(x.startswith("_ub=") for x in os.listdir(d))]
+        assert bucketed, "no _ub= bucket dirs in any committed seen_delta"
+
+
+def test_disk_crawl_resume_and_compaction(spark, tmp_path):
+    pdf = C.corpus_pandas(seed=42, n_hosts=4, total_pages=60, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed = "https://h0.example-42.test/"
+    base = CrawlConfig(max_depth=3, same_path_prefix=False)
+    want = [(r["url"], r["depth"], r["order"])
+            for r in crawl(spark, cdf, seed, base).results.orderBy("order").collect()]
+
+    ck = str(tmp_path / "ck")
+    dcfg = dict(max_depth=3, same_path_prefix=False, checkpoint_dir=ck,
+                broadcast_seen_max_urls=0, disk_seen=True, disk_seen_buckets=8)
+    partial = crawl(spark, cdf, seed, CrawlConfig(**dcfg, max_rounds=2))
+    assert partial.rounds == 2
+    # compact the committed deltas mid-crawl: the snapshot must keep the
+    # _ub layout (a flat snapshot would be invisible to the bucket probe)
+    cat = RoundCatalog(ck)
+    cat.compact(spark, "seen_delta", vacuum=True)
+    snap = cat.table_paths("seen_delta")[0]
+    assert any(x.startswith("_ub=") for x in os.listdir(snap))
+    resumed = crawl(spark, cdf, seed, CrawlConfig(**dcfg), resume=True)
+    got = [(r["url"], r["depth"], r["order"])
+           for r in resumed.results.orderBy("order").collect()]
+    assert got == want
+
+
+def test_disk_seen_resume_guard(spark, tmp_path):
+    """Resuming a checkpoint written WITHOUT disk_seen (flat seen_delta)
+    under disk_seen must refuse instead of silently re-enqueueing."""
+    pdf = C.corpus_pandas(seed=7, n_hosts=3, total_pages=40, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed_url = "https://h0.example-7.test/"
+    ck = str(tmp_path / "ck")
+    crawl(spark, cdf, seed_url, CrawlConfig(
+        max_depth=3, same_path_prefix=False, checkpoint_dir=ck, max_rounds=2))
+    with pytest.raises(ValueError, match="disk_seen resume"):
+        crawl(spark, cdf, seed_url, CrawlConfig(
+            max_depth=3, same_path_prefix=False, checkpoint_dir=ck,
+            disk_seen=True), resume=True)
+
+
+def test_disk_seen_requires_checkpoint(spark):
+    pdf = C.corpus_pandas(seed=7, n_hosts=2, total_pages=10, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="disk_seen requires checkpoint_dir"):
+        crawl(spark, cdf, "https://h0.example-7.test/",
+              CrawlConfig(disk_seen=True))

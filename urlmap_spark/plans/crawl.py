@@ -135,6 +135,23 @@ class CrawlConfig:
                                              # way: an anti-join filters
                                              # whole url-groups, so it
                                              # commutes with per-url min.
+    disk_seen: bool = False                  # past the broadcast limit, run
+                                             # the exact seen anti-join as the
+                                             # DISK-BACKED bucket probe
+                                             # (operators/diskseen.py): seen
+                                             # stays in its persisted _ub=
+                                             # bucket layout and is read task-
+                                             # side, so the per-round shuffle
+                                             # is O(candidates), independent
+                                             # of |seen| — the 10^10 exact
+                                             # path (storage-partitioned-join
+                                             # analog). Requires
+                                             # checkpoint_dir; composes with
+                                             # bloom/cuckoo prefilters and
+                                             # the broadcast-seen fast path
+    disk_seen_buckets: int = 64              # |seen|/B must fit a task (the
+                                             # scale knob: 10^10 urls / 4096
+                                             # buckets ~ 150 MB per task)
     progress: object | None = None           # per-round callback(metrics dict)
                                              # — the batch analog of the
                                              # reference's live progress ticker
@@ -213,6 +230,11 @@ def crawl(
         _EXCLUDE if not old_excluded else f"{old_excluded},{_EXCLUDE}",
     )
 
+    if cfg.disk_seen and not cfg.checkpoint_dir:
+        raise ValueError("disk_seen requires checkpoint_dir: the disk-backed "
+                         "anti-join probes the catalog's bucketed seen_delta "
+                         "layout")
+
     try:
         catalog = RoundCatalog(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
         # The crawl plan never touches `bytes` unless payload verification
@@ -287,6 +309,27 @@ def crawl(
         # seen is kept as a list of materialized deltas (union on demand):
         # no per-round checkpoint of the whole set, compacted past a threshold
         seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
+        seeds_seen_small: DataFrame | None = None
+        if cfg.disk_seen:
+            # the only seen URLs that never reach the catalog's seen_delta
+            # tables are the seeds themselves (each round's new URLs are
+            # committed before the next anti-join runs) — kept as a tiny
+            # broadcastable frame so the disk path stays exactly complete
+            if seeds:
+                seeds_seen_small = spark.createDataFrame(
+                    [(s,) for s in seeds], "url string").localCheckpoint(eager=True)
+            if resume and catalog is not None and catalog.last_round() is not None:
+                # a checkpoint written without disk_seen has FLAT seen_delta
+                # dirs: the bucket probe would read nothing from them and
+                # silently re-enqueue seen URLs — refuse instead
+                want_dsk = [cfg.disk_seen_buckets]
+                got = catalog.read_metrics(catalog.last_round()).get("disk_seen_cfg")
+                if got != want_dsk:
+                    raise ValueError(
+                        f"disk_seen resume: checkpoint was written with "
+                        f"disk_seen_cfg={got!r}, this run wants {want_dsk!r} "
+                        "— bucket layouts are incompatible; re-crawl or "
+                        "match disk_seen_buckets")
         if cfg.seen_filter == "cuckoo":
             from ..operators import cuckoo as _fmod
             _mk_filter_cfg = _fmod.CuckooConfig
@@ -562,6 +605,17 @@ def crawl(
                 cand = cand.join(F.broadcast(seen), "url", "left_anti")
                 new = first_wins(cand, "url", ["parent_order", "pos"]) \
                     .localCheckpoint(eager=True)
+            elif cfg.disk_seen:
+                # 10^10 exact path: seen stays in its persisted _ub bucket
+                # layout and is read task-side — the only exchange ships
+                # the candidates + a 4-byte bucket key (diskseen.py)
+                from ..operators import diskseen as _dsk
+                deduped = first_wins(cand, "url", ["parent_order", "pos"])
+                new = _dsk.disk_seen_anti_join(
+                    deduped, catalog.table_paths("seen_delta"),
+                    cfg.disk_seen_buckets, filters, bloom_cfg,
+                    extra_seen=seeds_seen_small,
+                ).localCheckpoint(eager=True)
             else:
                 deduped = first_wins(cand, "url", ["parent_order", "pos"])
                 new = _fmod.seen_anti_join(deduped, seen, filters, bloom_cfg) \
@@ -616,6 +670,10 @@ def crawl(
                 # seen_filters blobs before trusting them
                 **({"seen_filter_cfg": [cfg.seen_filter, cfg.bloom_buckets,
                                         cfg.bloom_bits]} if cfg.bloom_seen else {}),
+                # lets a disk_seen resume validate the persisted bucket
+                # layout before trusting it
+                **({"disk_seen_cfg": [cfg.disk_seen_buckets]}
+                   if cfg.disk_seen else {}),
             }
             if agg is not None:
                 m.update({
@@ -648,6 +706,14 @@ def crawl(
                 # empty — a 0-row partitionBy write leaves no data files
                 # and the re-read below could not infer a schema
                 bucket_nf = (n_new + n_deferred + n_retry) > 0
+                sd = new.select("url")
+                pb: dict[str, list[str]] = {}
+                if bucket_nf:
+                    pb["next_frontier"] = ["_hb"]
+                if cfg.disk_seen and n_new > 0:  # 0-row partitionBy writes no files
+                    from ..operators import diskseen as _dsk
+                    sd = _dsk.with_bucket(sd, cfg.disk_seen_buckets)
+                    pb["seen_delta"] = ["_ub"]
                 tables = {
                     "results": results_r,
                     "next_frontier": next_frontier.withColumn(
@@ -655,17 +721,17 @@ def crawl(
                         F.pmod(F.xxhash64(F.expr("try_parse_url(url, 'HOST')")),
                                F.lit(cfg.frontier_host_buckets)).cast("int"))
                     if bucket_nf else next_frontier,
-                    "seen_delta": new.select("url"),
+                    "seen_delta": sd,
                     "lineage": lineage,
                 }
                 if cfg.bloom_seen:
                     tables["seen_filters"] = filters
                 catalog.commit_round(round_idx, tables, m,
-                                     partition_by={"next_frontier": ["_hb"]}
-                                     if bucket_nf else None)
+                                     partition_by=pb or None)
                 # re-read from storage: snapshot-isolated resume point
                 frontier = catalog.read(spark, round_idx, "next_frontier").drop("_hb")
-                seen_parts.append(catalog.read(spark, round_idx, "seen_delta"))
+                seen_parts.append(
+                    catalog.read(spark, round_idx, "seen_delta").select("url"))
             else:
                 results_parts.append(results_r)
                 seen_parts.append(new.select("url"))

@@ -119,7 +119,9 @@ def requeue_urls(spark: SparkSession, checkpoint_dir: str, urls,
     mm = _zero_metrics(last + 1, new_counter, maintenance="requeue",
                        requeued=n_requeued,
                        **({"seen_filter_cfg": m["seen_filter_cfg"]}
-                          if m.get("seen_filter_cfg") else {}))
+                          if m.get("seen_filter_cfg") else {}),
+                       **({"disk_seen_cfg": m["disk_seen_cfg"]}
+                          if m.get("disk_seen_cfg") else {}))
     cat.commit_round(last + 1, tables, mm)
     return {"requeued": n_requeued, "round": last + 1}
 
@@ -173,7 +175,9 @@ def retire_urls(spark: SparkSession, checkpoint_dir: str, urls) -> dict:
                        maintenance="retire", retired=n_retired,
                        skipped_pending=n_pending,
                        **({"seen_filter_cfg": m["seen_filter_cfg"]}
-                          if m.get("seen_filter_cfg") else {}))
+                          if m.get("seen_filter_cfg") else {}),
+                       **({"disk_seen_cfg": m["disk_seen_cfg"]}
+                          if m.get("disk_seen_cfg") else {}))
     cat.commit_round(last + 1, tables, mm)
     return {"retired": n_retired, "skipped_pending": n_pending,
             "round": last + 1}

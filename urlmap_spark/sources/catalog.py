@@ -94,7 +94,8 @@ class RoundCatalog:
     def compact(self, spark: SparkSession, name: str = "seen_delta",
                 num_files: int | None = None, vacuum: bool = False,
                 minus: DataFrame | None = None,
-                minus_key: str = "url") -> int | None:
+                minus_key: str = "url",
+                partition_by: list[str] | None = None) -> int | None:
         """Fold every committed per-round `name` table into ONE snapshot
         (compact/<name>/v=<last_round>/) — the Iceberg rewrite_data_files
         analog for this shim. A 1000-round crawl otherwise accretes
@@ -115,6 +116,11 @@ class RoundCatalog:
         if last is None:
             return None
         df = self.read_union(spark, name, upto=last)
+        if partition_by is None and "_ub" in df.columns:
+            # the deltas are disk-seen bucketed: a FLAT snapshot would be
+            # invisible to the task-side bucket probe (silent re-enqueue
+            # of seen URLs) — always preserve the layout
+            partition_by = ["_ub"]
         if minus is not None:
             df = df.join(minus.select(minus_key), minus_key, "left_anti")
         if num_files:
@@ -122,7 +128,10 @@ class RoundCatalog:
         vdir = os.path.join(self._cdir(name), f"v={last:04d}")
         if os.path.exists(vdir):  # crashed previous attempt
             shutil.rmtree(vdir)
-        df.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
+        w = df.write.mode("overwrite")
+        if partition_by:  # preserve e.g. the disk-seen _ub bucketing so
+            w = w.partitionBy(*partition_by)  # bucket-pruned reads survive
+        w.parquet(os.path.join(vdir, "data"))
         mtmp = os.path.join(vdir, "._COMMITTED.tmp")
         open(mtmp, "w").close()
         os.replace(mtmp, os.path.join(vdir, "_COMMITTED"))
@@ -138,12 +147,11 @@ class RoundCatalog:
                     shutil.rmtree(os.path.join(self._cdir(name), d))
         return last
 
-    def read_union(self, spark: SparkSession, name: str, upto: int | None = None) -> DataFrame:
-        """Union of table `name` across committed rounds (e.g. the full
-        seen set = union of seen_delta). Parquet reads many dirs in one
-        scan — no driver-side loop over rows. If a compaction snapshot
-        covers a prefix of the requested rounds, it replaces those
-        rounds' deltas in the scan."""
+    def table_paths(self, name: str, upto: int | None = None) -> list[str]:
+        """Committed table dirs for `name` (compaction snapshot first if
+        one covers a prefix of the rounds, then post-snapshot deltas) —
+        the path set read_union scans, exposed for consumers that read
+        files task-side (the disk-backed seen anti-join)."""
         rs = self.committed_rounds()
         if upto is not None:
             rs = [r for r in rs if r <= upto]
@@ -154,6 +162,24 @@ class RoundCatalog:
             rs = [r for r in rs if r > cv]
         paths += [os.path.join(self._rdir(r), name) for r in rs
                   if os.path.exists(os.path.join(self._rdir(r), name))]
+        return paths
+
+    def read_union(self, spark: SparkSession, name: str, upto: int | None = None) -> DataFrame:
+        """Union of table `name` across committed rounds (e.g. the full
+        seen set = union of seen_delta). Parquet reads many dirs in one
+        scan — no driver-side loop over rows. If a compaction snapshot
+        covers a prefix of the requested rounds, it replaces those
+        rounds' deltas in the scan."""
+        paths = self.table_paths(name, upto)
         if not paths:
             raise FileNotFoundError(f"no committed '{name}' tables under {self.root}")
-        return spark.read.parquet(*paths)
+        # one dir per read: a single multi-path scan cannot partition-
+        # discover several partitioned roots (Spark KD009 "conflicting
+        # directory structures" for the disk-seen _ub= layout);
+        # allowMissingColumns unions flat and bucketed dirs (the bucket
+        # column is null for flat rows)
+        dfs = [spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
