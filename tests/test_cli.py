@@ -209,12 +209,44 @@ def test_cli_seen_filter_cuckoo_matches_bloom(spark, tmp_path, capsys):
     outs = {}
     for name in ("bloom", "cuckoo"):
         out_p = str(tmp_path / f"out-{name}")
+        # --broadcast-seen-max 0 disables the broadcast fast path, so the
+        # named prefilter's cogroup probe genuinely runs every round
         rc = cli.main([
             "https://h.test/", "--corpus", corpus_p, "--no-path-prefix",
-            "--seen-filter", name, "--output", out_p,
+            "--seen-filter", name, "--broadcast-seen-max", "0",
+            "--output", out_p,
         ], _spark=spark)
         assert rc == 0
         import glob
         outs[name] = open(glob.glob(out_p + "/part-*")[0]).read().splitlines()
     assert outs["cuckoo"] == outs["bloom"]
     assert len(outs["cuckoo"]) == 7
+
+
+def test_cli_disk_seen(spark, tmp_path):
+    """--disk-seen crawls via the disk-backed exact anti-join (with
+    --checkpoint) and matches the default path's output; without
+    --checkpoint it exits with a clean diagnostic."""
+    corpus_p = str(tmp_path / "corpus.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    import glob
+
+    base = str(tmp_path / "out-base")
+    rc = cli.main(["https://h.test/", "--corpus", corpus_p,
+                   "--no-path-prefix", "--output", base], _spark=spark)
+    assert rc == 0
+    want = open(glob.glob(base + "/part-*")[0]).read().splitlines()
+
+    out_p = str(tmp_path / "out-disk")
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p, "--no-path-prefix",
+        "--disk-seen", "--disk-seen-buckets", "8",
+        "--broadcast-seen-max", "0",
+        "--checkpoint", str(tmp_path / "ck"), "--output", out_p,
+    ], _spark=spark)
+    assert rc == 0
+    assert open(glob.glob(out_p + "/part-*")[0]).read().splitlines() == want
+
+    rc = cli.main(["https://h.test/", "--corpus", corpus_p,
+                   "--disk-seen"], _spark=spark)
+    assert rc == 2  # disk_seen requires checkpoint -> clean error path

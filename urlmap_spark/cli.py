@@ -74,10 +74,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--js-threshold", type=float, default=0.5,
                    help="SPA detection threshold 0.0-1.0 (reference --js-threshold)")
     p.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
-                   default="bloom",
-                   help="partitioned prefilter backing the URL-seen probe "
-                        "(north_rule: 'bloom/cuckoo URL-seen'); cuckoo adds "
-                        "O(1) deletion for seen-set retirement")
+                   default=None,
+                   help="ENABLE the partitioned prefilter backing the URL-seen "
+                        "probe (north_rule: 'bloom/cuckoo URL-seen'); cuckoo "
+                        "adds O(1) deletion for seen-set retirement. Off by "
+                        "default: under --broadcast-seen-max the broadcast "
+                        "path answers the probe exactly anyway")
+    p.add_argument("--broadcast-seen-max", type=int, default=4_000_000,
+                   help="while |seen| is under this, the seen anti-join "
+                        "broadcasts (map-side, pre-dedup); 0 disables — "
+                        "past it the prefilter/disk paths take over")
+    p.add_argument("--disk-seen", action="store_true",
+                   help="exact seen anti-join probes the checkpoint's bucketed "
+                        "on-disk seen layout task-side (shuffle O(candidates), "
+                        "independent of |seen| — the 10^10 path); requires "
+                        "--checkpoint")
+    p.add_argument("--disk-seen-buckets", type=int, default=64,
+                   help="url-hash bucket count of the persisted seen layout "
+                        "(|seen|/B must fit one task)")
     p.add_argument("--checkpoint", help="checkpoint directory (enables resume)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verify-payload", action="store_true",
@@ -184,7 +198,11 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         host_quota=host_quota,
         default_quota=args.quota or None,
         global_cap=args.rate_limit or None,
-        seen_filter=args.seen_filter,
+        bloom_seen=args.seen_filter is not None,
+        seen_filter=args.seen_filter or "bloom",
+        broadcast_seen_max_urls=args.broadcast_seen_max,
+        disk_seen=args.disk_seen,
+        disk_seen_buckets=args.disk_seen_buckets,
         checkpoint_dir=args.checkpoint,
         verify_payload=args.verify_payload,
         frontier_partitions=args.concurrent or None,
