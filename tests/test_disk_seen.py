@@ -147,3 +147,35 @@ def test_disk_seen_requires_checkpoint(spark):
     with pytest.raises(ValueError, match="disk_seen requires checkpoint_dir"):
         crawl(spark, cdf, "https://h0.example-7.test/",
               CrawlConfig(disk_seen=True))
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_STR = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=0, max_size=40)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(seen=st.lists(_STR, min_size=0, max_size=40, unique=True),
+       cands=st.lists(_STR, min_size=1, max_size=40, unique=True),
+       n_buckets=st.sampled_from([1, 3, 16]))
+def test_fuzz_disk_anti_join_equals_plain(spark, tmp_path_factory,
+                                          seen, cands, n_buckets):
+    """Property: for ARBITRARY url strings (unicode, empty, punctuation)
+    and any bucket count, the disk probe equals the plain anti-join —
+    the candidate-side and persisted-side bucket keys are the same JVM
+    expression, so no string shape can split a (candidate, seen) match
+    across buckets."""
+    tmp = str(tmp_path_factory.mktemp("fuzz_ds"))
+    seen_df = spark.createDataFrame([(s,) for s in seen], "url string")
+    cand_df = spark.createDataFrame([(c,) for c in cands], "url string")
+    if seen:
+        _write_bucketed(seen_df, tmp, n_buckets)
+        dirs = [tmp]
+    else:
+        dirs = []
+    got = {r["url"] for r in disk_anti_join(cand_df, dirs, n_buckets).collect()}
+    want = set(cands) - set(seen)
+    assert got == want
