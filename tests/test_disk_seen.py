@@ -179,3 +179,50 @@ def test_fuzz_disk_anti_join_equals_plain(spark, tmp_path_factory,
     got = {r["url"] for r in disk_anti_join(cand_df, dirs, n_buckets).collect()}
     want = set(cands) - set(seen)
     assert got == want
+
+
+def test_inline_seen_compaction_parity(spark, tmp_path):
+    """compact_seen_every folds deltas into a snapshot DURING the crawl
+    (vacuuming covered dirs) without changing a single emitted row —
+    under both the broadcast path (which re-reads the rebuilt seen
+    union every round) and the disk probe; a resume after an inline
+    compaction picks up the snapshot."""
+    pdf = C.corpus_pandas(seed=11, n_hosts=4, total_pages=60, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed = "https://h0.example-11.test/"
+    want = [(r["url"], r["depth"], r["order"])
+            for r in crawl(spark, cdf, seed,
+                           CrawlConfig(max_depth=4, same_path_prefix=False))
+            .results.orderBy("order").collect()]
+
+    for mode in ("broadcast", "disk"):
+        ck = str(tmp_path / f"ck_{mode}")
+        kw = dict(max_depth=4, same_path_prefix=False, checkpoint_dir=ck,
+                  compact_seen_every=2)
+        if mode == "disk":
+            kw.update(broadcast_seen_max_urls=0, disk_seen=True,
+                      disk_seen_buckets=8)
+        run = crawl(spark, cdf, seed, CrawlConfig(**kw))
+        got = [(r["url"], r["depth"], r["order"])
+               for r in run.results.orderBy("order").collect()]
+        assert got == want, f"inline compaction broke parity ({mode})"
+        cat = RoundCatalog(ck)
+        paths = cat.table_paths("seen_delta")
+        assert any(os.sep + "compact" + os.sep in p for p in paths), \
+            f"no compaction snapshot served ({mode})"
+        # covered per-round delta dirs were vacuumed
+        covered = [r for r in cat.committed_rounds()
+                   if os.path.exists(os.path.join(
+                       ck, "rounds", f"r={r:04d}", "seen_delta"))]
+        assert len(covered) < run.rounds, f"vacuum removed nothing ({mode})"
+
+    # kill after round 2 (post-compaction), resume, same output
+    ck = str(tmp_path / "ck_resume")
+    kw = dict(max_depth=4, same_path_prefix=False, checkpoint_dir=ck,
+              compact_seen_every=2, broadcast_seen_max_urls=0,
+              disk_seen=True, disk_seen_buckets=8)
+    crawl(spark, cdf, seed, CrawlConfig(**kw, max_rounds=2))
+    resumed = crawl(spark, cdf, seed, CrawlConfig(**kw), resume=True)
+    got = [(r["url"], r["depth"], r["order"])
+           for r in resumed.results.orderBy("order").collect()]
+    assert got == want

@@ -152,6 +152,18 @@ class CrawlConfig:
     disk_seen_buckets: int = 64              # |seen|/B must fit a task (the
                                              # scale knob: 10^10 urls / 4096
                                              # buckets ~ 150 MB per task)
+    compact_seen_every: int = 0              # >0: every N committed rounds,
+                                             # fold the seen_delta dirs into
+                                             # one compaction snapshot and
+                                             # vacuum the covered deltas (the
+                                             # Iceberg rewrite_data_files
+                                             # analog, inline) — caps the
+                                             # per-bucket file count a long
+                                             # disk-seen crawl's probe tasks
+                                             # must open at B×N instead of
+                                             # B×rounds. Snapshot-isolated:
+                                             # a crash mid-compaction leaves
+                                             # the deltas authoritative
     progress: object | None = None           # per-round callback(metrics dict)
                                              # — the batch analog of the
                                              # reference's live progress ticker
@@ -732,6 +744,18 @@ def crawl(
                 frontier = catalog.read(spark, round_idx, "next_frontier").drop("_hb")
                 seen_parts.append(
                     catalog.read(spark, round_idx, "seen_delta").select("url"))
+                if cfg.compact_seen_every > 0 and \
+                        (round_idx + 1) % cfg.compact_seen_every == 0:
+                    catalog.compact(spark, "seen_delta", vacuum=True)
+                    # the old seen_parts entries lazily reference the
+                    # just-vacuumed delta dirs — rebuild from the
+                    # snapshot (+ seeds, which never enter any delta)
+                    seen_parts = [catalog.read_union(spark, "seen_delta")
+                                  .select("url")]
+                    if seeds:
+                        seen_parts.append(spark.createDataFrame(
+                            [(s,) for s in seeds], "url string"))
+                    tick("seen_compact")
             else:
                 results_parts.append(results_r)
                 seen_parts.append(new.select("url"))
