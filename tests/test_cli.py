@@ -241,7 +241,7 @@ def test_cli_disk_seen(spark, tmp_path):
     rc = cli.main([
         "https://h.test/", "--corpus", corpus_p, "--no-path-prefix",
         "--disk-seen", "--disk-seen-buckets", "8",
-        "--broadcast-seen-max", "0",
+        "--broadcast-seen-max", "0", "--compact-seen-every", "2",
         "--checkpoint", str(tmp_path / "ck"), "--output", out_p,
     ], _spark=spark)
     assert rc == 0

@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disk-seen-buckets", type=int, default=64,
                    help="url-hash bucket count of the persisted seen layout "
                         "(|seen|/B must fit one task)")
+    p.add_argument("--compact-seen-every", type=int, default=0,
+                   help="fold the checkpoint's seen deltas into one snapshot "
+                        "every N rounds (inline rewrite_data_files analog; "
+                        "caps probe-side file opens on long crawls; 0 = off)")
     p.add_argument("--checkpoint", help="checkpoint directory (enables resume)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--verify-payload", action="store_true",
@@ -203,6 +207,7 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         broadcast_seen_max_urls=args.broadcast_seen_max,
         disk_seen=args.disk_seen,
         disk_seen_buckets=args.disk_seen_buckets,
+        compact_seen_every=args.compact_seen_every,
         checkpoint_dir=args.checkpoint,
         verify_payload=args.verify_payload,
         frontier_partitions=args.concurrent or None,
