@@ -317,6 +317,14 @@ def main() -> None:
         results = {lo: None, hi: None}
         vres = {lo: None, hi: None}
         pair_eff = {"light": [], "vp": []}
+        # per-PAIR ceiling snapshots: the whole-run ceiling above samples
+        # the silicon once, but this host drifts WITHIN a run (r3-13's
+        # light pairs [0.13, 1.02, 0.31]); a quick kernel re-measure
+        # adjacent to each trial pair lets every pair efficiency be read
+        # against the silicon's own scaling AT THAT MOMENT — hostile
+        # windows then still yield attributable (ceiling-normalized)
+        # readings instead of uninterpretable ratios
+        pair_ceilings = []
 
         def _one(fn, corpus_path_, n, tag):
             spark = get_spark(master=f"local[{n}]", app_name=f"bench_{tag}_{n}")
@@ -326,6 +334,8 @@ def main() -> None:
             return r
 
         for _t in range(trials):
+            c = measure_ceiling(lo, hi, total=48_000, memcpy_total=6_000)
+            pair_ceilings.append({"comp": c["eff"], "memcpy": c["memcpy_eff"]})
             pair = {n: _one(run_crawl, cp, n, "crawl") for n in (lo, hi)}
             pair_eff["light"].append(round(
                 (pair[hi]["urls_per_sec"] / pair[lo]["urls_per_sec"]) / 4.0, 3))
@@ -340,6 +350,15 @@ def main() -> None:
                 if vres[n] is None or \
                         vpair[n]["urls_per_sec"] > vres[n]["urls_per_sec"]:
                     vres[n] = vpair[n]
+        # VP is decode-dominated, so its natural ceiling is the compute
+        # kernel: the normalized reading is "fraction of the silicon's
+        # own 2->8 scaling the engine achieved in that pair's window",
+        # capped at 1.0 (a kernel more depressed than the engine itself
+        # cannot push the reading above parity)
+        vp_vs_ceiling = [
+            round(min(e / max(c["comp"], 1e-9), 1.0), 3)
+            for e, c in zip(pair_eff["vp"], pair_ceilings)
+        ]
         eff = (results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]) / 4.0
         eff_steady = (results[hi]["steady_urls_per_sec"]
                       / max(results[lo]["steady_urls_per_sec"], 1e-9)) / 4.0
@@ -362,6 +381,11 @@ def main() -> None:
             "pair_efficiencies": pair_eff,
             "best_pair_efficiency": round(max(pair_eff["light"]), 3),
             "best_pair_efficiency_verified": round(max(pair_eff["vp"]), 3),
+            # per-pair silicon snapshots + the VP pair read against ITS
+            # OWN pair's compute ceiling (same-moment attribution)
+            "pair_ceilings": pair_ceilings,
+            "pair_vp_vs_ceiling": vp_vs_ceiling,
+            "best_pair_vp_vs_ceiling": round(max(vp_vs_ceiling), 3),
         }
         print(json.dumps(report))
         os.makedirs("BENCH", exist_ok=True)
@@ -411,6 +435,11 @@ def main() -> None:
                 f"{pair_eff['light']}, VP: {pair_eff['vp']}; best pair "
                 f"light {max(pair_eff['light']):.3f} / VP "
                 f"{max(pair_eff['vp']):.3f}.\n\n"
+                f"Per-pair silicon ceilings (quick kernel re-measure before "
+                f"each trial pair, comp/memcpy): "
+                f"{[(c['comp'], c['memcpy']) for c in pair_ceilings]}; "
+                f"VP pair vs its own pair's compute ceiling: "
+                f"{vp_vs_ceiling} (best {max(vp_vs_ceiling):.3f}).\n\n"
                 "Operating points 2/8: the widest N->4N pair inside this VM's "
                 "all-core-turbo envelope — pure-multiprocessing kernels (no "
                 "Spark) measure decode+phash at 0.96 for 2->8 but ~0.77 for "
