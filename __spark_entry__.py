@@ -676,6 +676,45 @@ def _q_dedup_ngram_capped(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.2, n=3, max_shingle_df=50)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Connected components over a near-dup pair graph (operators/
+    components.py, alternating large-star/small-star): edge set = the
+    REAL capped-ngram pairs over documents(doc_id<200) UNION a
+    deterministic stride-3 chain (i, i+3) — the chains have diameter
+    ~66, so the value check exercises many star alternations, not just
+    one-hop stars. DuckDB reproduces labels with a recursive reach CTE."""
+    _ship_package(spark)
+    from urlmap_spark.operators.components import connected_components
+    from urlmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ngram = ngram_jaccard_pairs(
+        docs, threshold=0.2, n=3, max_shingle_df=50).select("id_a", "id_b")
+    chain = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 3).alias("id_b")).filter(F.col("id_b") < 200)
+    return connected_components(ngram.union(chain)).select("id", "component")
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    """The dedup VERDICT a training pipeline consumes (operators/
+    components.py canonical_docs): every document labeled with its
+    near-dup component, the component's keeper (highest n_chars, ties
+    -> min doc_id), and an is_duplicate flag; singletons keep
+    themselves. Pairs = the capped-ngram generator (real composition:
+    docs -> pairs -> groups -> keeper)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.components import canonical_docs
+    from urlmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.2, n=3, max_shingle_df=50).select("id_a", "id_b")
+    return canonical_docs(
+        docs.select("doc_id", "n_chars"), pairs, quality_col="n_chars",
+    ).select("doc_id", "component", "keeper_id", "is_duplicate")
+
+
 def _q_embed_neardup_blocked(spark, sf_dir):
     """Blocked near-dup: deterministic axis-sign LSH block restricts the
     pair join (the scale path); DuckDB reproduces the same blocks."""
@@ -1044,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup-exact": _q_dedup_exact,
         "dedup-ngram-jaccard": _q_dedup_ngram_jaccard,
         "dedup-ngram-capped": _q_dedup_ngram_capped,
+        "dedup-components": _q_dedup_components,
+        "dedup-canonical": _q_dedup_canonical,
         "embed-neardup-blocked": _q_embed_neardup_blocked,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
@@ -1472,6 +1513,91 @@ def oracle_sql() -> dict[str, str]:
             FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
             WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS double)
                         / len(list_distinct(sa.shs || sb.shs)), 6) >= 0.2
+        """,
+        "dedup-components": """
+            -- connected components over (capped-ngram pairs UNION a
+            -- stride-3 chain): label = min reachable id, recomputed by
+            -- a recursive reach CTE over the symmetrized edge set
+            WITH RECURSIVE toks AS (
+              SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+              FROM documents WHERE doc_id < 200),
+            sh AS (
+              SELECT id, list_distinct(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                       ELSE list_transform(generate_series(1, len(l) - 2),
+                                           i -> array_to_string(l[i:i+2], ' ')) END) AS shs
+              FROM toks),
+            ex AS (SELECT id, unnest(shs) AS s FROM sh),
+            rare AS (
+              SELECT s FROM (SELECT s, count(*) AS c FROM ex GROUP BY s) WHERE c <= 50),
+            exr AS (SELECT ex.id, ex.s FROM ex JOIN rare USING (s)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM exr a JOIN exr b ON a.s = b.s AND a.id < b.id),
+            jpairs AS (
+              SELECT id_a, id_b
+              FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
+              WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS double)
+                          / len(list_distinct(sa.shs || sb.shs)), 6) >= 0.2),
+            chain AS (
+              SELECT doc_id AS id_a, doc_id + 3 AS id_b
+              FROM documents WHERE doc_id < 200 AND doc_id + 3 < 200),
+            alledges AS (SELECT * FROM jpairs UNION SELECT * FROM chain),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM alledges WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM alledges WHERE id_a <> id_b),
+            reach(n, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n)
+            SELECT n AS id, min(r) AS component FROM reach GROUP BY n
+        """,
+        "dedup-canonical": """
+            -- dedup verdict: component label (singletons -> own id),
+            -- keeper = max n_chars then min doc_id, is_duplicate flag
+            WITH RECURSIVE toks AS (
+              SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+              FROM documents WHERE doc_id < 200),
+            sh AS (
+              SELECT id, list_distinct(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                       ELSE list_transform(generate_series(1, len(l) - 2),
+                                           i -> array_to_string(l[i:i+2], ' ')) END) AS shs
+              FROM toks),
+            ex AS (SELECT id, unnest(shs) AS s FROM sh),
+            rare AS (
+              SELECT s FROM (SELECT s, count(*) AS c FROM ex GROUP BY s) WHERE c <= 50),
+            exr AS (SELECT ex.id, ex.s FROM ex JOIN rare USING (s)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM exr a JOIN exr b ON a.s = b.s AND a.id < b.id),
+            jpairs AS (
+              SELECT id_a, id_b
+              FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
+              WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS double)
+                          / len(list_distinct(sa.shs || sb.shs)), 6) >= 0.2),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM jpairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM jpairs WHERE id_a <> id_b),
+            reach(n, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n),
+            comp AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
+            lab AS (
+              SELECT d.doc_id, d.n_chars,
+                     coalesce(c.component, d.doc_id) AS component
+              FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 200) d
+              LEFT JOIN comp c USING (doc_id)),
+            keep AS (
+              SELECT component, doc_id AS keeper_id FROM (
+                SELECT component, doc_id,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM lab) WHERE rn = 1)
+            SELECT l.doc_id, l.component, k.keeper_id,
+                   l.doc_id <> k.keeper_id AS is_duplicate
+            FROM lab l JOIN keep k USING (component)
         """,
         "dedup-minhash-arith": f"""
             -- the arith-hash minhash mechanism, recomputed from scratch:
