@@ -715,6 +715,27 @@ def _q_dedup_canonical(spark, sf_dir):
     ).select("doc_id", "component", "keeper_id", "is_duplicate")
 
 
+def _q_corpus_curate(spark, sf_dir):
+    """The full training-corpus curation plan (plans/curate.py):
+    langid + token bounds + quality gate + near-dup verdict composed
+    into one declarative plan; every document labeled with its metrics,
+    first failing rule and keep flag. Parameters chosen so all four
+    drop reasons fire on this corpus slice (lang 16 / length ~14 /
+    quality / duplicate rows at sf0.01)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.dedup import ngram_jaccard_pairs
+    from urlmap_spark.plans.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.2, n=3, max_shingle_df=50).select("id_a", "id_b")
+    return curate_corpus(
+        docs.select("doc_id", "text"), pairs=pairs,
+        allowed_langs=("en", "de"), min_tokens=20, min_quality=0.55,
+    ).select("doc_id", "lang_pred", "n_tokens", "quality", "component",
+             "keeper_id", "is_duplicate", "drop_reason", "keep")
+
+
 def _q_embed_neardup_blocked(spark, sf_dir):
     """Blocked near-dup: deterministic axis-sign LSH block restricts the
     pair join (the scale path); DuckDB reproduces the same blocks."""
@@ -1085,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup-ngram-capped": _q_dedup_ngram_capped,
         "dedup-components": _q_dedup_components,
         "dedup-canonical": _q_dedup_canonical,
+        "corpus-curate": _q_corpus_curate,
         "embed-neardup-blocked": _q_embed_neardup_blocked,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
@@ -1598,6 +1620,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.component, k.keeper_id,
                    l.doc_id <> k.keeper_id AS is_duplicate
             FROM lab l JOIN keep k USING (component)
+        """,
+        "corpus-curate": f"""
+            -- full curation plan: langid + token bounds + quality +
+            -- near-dup verdict; first failing rule is the drop reason
+            WITH RECURSIVE d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            toks AS (
+              SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+              FROM d),
+            sh AS (
+              SELECT id, list_distinct(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                       ELSE list_transform(generate_series(1, len(l) - 2),
+                                           i -> array_to_string(l[i:i+2], ' ')) END) AS shs
+              FROM toks),
+            ex AS (SELECT id, unnest(shs) AS s FROM sh),
+            rare AS (
+              SELECT s FROM (SELECT s, count(*) AS c FROM ex GROUP BY s) WHERE c <= 50),
+            exr AS (SELECT ex.id, ex.s FROM ex JOIN rare USING (s)),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM exr a JOIN exr b ON a.s = b.s AND a.id < b.id),
+            jpairs AS (
+              SELECT id_a, id_b
+              FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b
+              WHERE round(CAST(len(list_intersect(sa.shs, sb.shs)) AS double)
+                          / len(list_distinct(sa.shs || sb.shs)), 6) >= 0.2),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM jpairs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM jpairs WHERE id_a <> id_b),
+            reach(n, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n),
+            comp AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
+            feat AS (
+              SELECT doc_id,
+                   CASE WHEN {s_en} >= {s_de} AND {s_en} >= {s_es} AND {s_en} > 0 THEN 'en'
+                        WHEN {s_de} >= {s_es} AND {s_de} > 0 THEN 'de'
+                        WHEN {s_es} > 0 THEN 'es'
+                        ELSE 'und' END AS lang_pred,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS int) AS n_tokens,
+                   round(
+                     0.5 * least(length(text) / 500.0, 1.0)
+                   + 0.4 * least(4.0 * (CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+                            THEN CAST(len(list_filter(list_filter(string_split(lower(text),' '), x -> x <> ''),
+                                          x -> x IN ({stop}))) AS double)
+                                 / len(list_filter(string_split(text,' '), x -> x <> ''))
+                            ELSE 0.0 END), 1.0)
+                   - 0.3 * (CASE WHEN length(text) > 0
+                            THEN least(5.0 * length(regexp_replace(text, '[\\w\\s]', '', 'g')) / length(text), 1.0)
+                            ELSE 0.0 END)
+                   + 0.3, 6) AS quality
+              FROM d),
+            lab AS (
+              SELECT f.*, coalesce(c.component, f.doc_id) AS component
+              FROM feat f LEFT JOIN comp c USING (doc_id)),
+            keep_sel AS (
+              SELECT component, doc_id AS keeper_id FROM (
+                SELECT component, doc_id,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY quality DESC, doc_id ASC) AS rn
+                FROM lab) WHERE rn = 1),
+            verdict AS (
+              SELECT l.doc_id, l.lang_pred, l.n_tokens, l.quality,
+                     l.component, k.keeper_id,
+                     l.doc_id <> k.keeper_id AS is_duplicate
+              FROM lab l JOIN keep_sel k USING (component)),
+            reasoned AS (
+              SELECT *, CASE WHEN lang_pred NOT IN ('en','de') THEN 'lang'
+                             WHEN n_tokens < 20 OR n_tokens > 100000 THEN 'length'
+                             WHEN quality < 0.55 THEN 'quality'
+                             WHEN is_duplicate THEN 'duplicate'
+                             ELSE NULL END AS drop_reason
+              FROM verdict)
+            SELECT doc_id, lang_pred, n_tokens, quality, component,
+                   keeper_id, is_duplicate, drop_reason,
+                   drop_reason IS NULL AS keep
+            FROM reasoned
         """,
         "dedup-minhash-arith": f"""
             -- the arith-hash minhash mechanism, recomputed from scratch:

@@ -1,0 +1,92 @@
+"""Corpus curation: the standard web-scale training-data filter chain,
+composed from this engine's own operators into ONE declarative plan —
+language ID, token bounds, quality gate (functions/textstats.py, all
+JVM-native expressions) and the near-dup verdict
+(operators/components.py over any of the pair generators in
+operators/dedup.py). Every document comes back with its metrics, its
+duplicate-component verdict, the FIRST failing rule as `drop_reason`,
+and a `keep` boolean — the row shape a downstream sampler/writer
+consumes.
+
+Scale shape: the metric columns are pure whole-stage-codegen
+expressions over `text` (no Python anywhere); the dedup verdict adds
+the components iteration (16-byte edge shuffles) plus one label join —
+labels are one row per PAIRED doc, usually tiny relative to the corpus,
+so Spark broadcasts them and the corpus itself never shuffles. At
+100 TB the only corpus-wide exchange in this plan is the keeper
+aggregation's groupBy(component), which is min()-reducible map-side.
+
+Policy notes (documented, deliberate):
+- Rule order is fixed: lang -> length -> quality -> duplicate. The
+  first failing rule names the drop; later rules still have their
+  columns populated (nothing is short-circuited — it is one plan).
+- The canonical keeper is the best-QUALITY member of a component
+  (ties -> min id), judged over the WHOLE component — including
+  members the other rules drop. A keeper can therefore itself be
+  dropped (e.g. wrong language); dedup never resurrects it. This is
+  the usual corpus-dedup policy: near-dup grouping and rule filtering
+  are independent axes.
+
+The reference has no corpus pipeline (it is a crawler); this plan is
+part of the training-data mandate, like operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from urlmap_spark.functions.textstats import (
+    langid_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from urlmap_spark.operators.components import canonical_docs
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allowed_langs: Sequence[str] = ("en", "de", "es"),
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """docs + (lang_pred, n_tokens, quality, component, keeper_id,
+    is_duplicate, drop_reason, keep). `pairs` is an (id_a, id_b)
+    near-dup pair frame from any operators/dedup.py generator; pass
+    None to skip dedup (every doc is its own singleton keeper)."""
+    text = F.col(text_col)
+    out = (
+        docs.withColumn("lang_pred", langid_expr(text))
+        .withColumn("n_tokens", token_count_expr(text))
+        .withColumn("quality", quality_score_expr(text))
+    )
+    if pairs is not None:
+        out = canonical_docs(out, pairs, id_col=id_col, quality_col="quality")
+    else:
+        out = (
+            out.withColumn("component", F.col(id_col))
+            .withColumn("keeper_id", F.col(id_col))
+            .withColumn("is_duplicate", F.lit(False))
+        )
+    langs = F.array(*[F.lit(lang) for lang in allowed_langs])
+    reason = (
+        F.when(~F.array_contains(langs, F.col("lang_pred")), F.lit("lang"))
+        .when(
+            (F.col("n_tokens") < F.lit(min_tokens))
+            | (F.col("n_tokens") > F.lit(max_tokens)),
+            F.lit("length"),
+        )
+        .when(F.col("quality") < F.lit(min_quality), F.lit("quality"))
+        .when(F.col("is_duplicate"), F.lit("duplicate"))
+    )
+    return out.withColumn("drop_reason", reason).withColumn(
+        "keep", reason.isNull()
+    )
