@@ -736,6 +736,38 @@ def _q_corpus_curate(spark, sf_dir):
              "keeper_id", "is_duplicate", "drop_reason", "keep")
 
 
+def _q_corpus_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (operators/packing.py): shard =
+    floor(exclusive prefix sum of n_tokens / budget) in doc_id order,
+    computed with the two-pass range-partition pattern (no partitionless
+    window, nothing O(corpus) in one task). DuckDB recomputes the
+    prefix sum with a plain window (fine at oracle scale)."""
+    _ship_package(spark)
+    from urlmap_spark.functions.textstats import token_count_expr
+    from urlmap_spark.operators.packing import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+    return pack_shards(toks, budget=2000).select(
+        "doc_id", "n_tokens", "cum_before", "shard")
+
+
+def _q_corpus_sample_arith(spark, sf_dir):
+    """Deterministic stratified sampling (operators/packing.py) under
+    the ANSI-SQL-recomputable arith hash family: keep 35% of en, 70% of
+    de, drop other strata — keyed on doc_id so the verdict is stable
+    across partitionings, retries and cluster sizes. The xxhash64
+    default is the same mechanism with a stronger mixer."""
+    _ship_package(spark)
+    from urlmap_spark.operators.packing import arith_mix_expr, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"en": 0.35, "de": 0.7}, strata_col="lang",
+        key_col="doc_id", hash_expr=arith_mix_expr,
+    ).select("doc_id", "lang")
+
+
 def _q_embed_neardup_blocked(spark, sf_dir):
     """Blocked near-dup: deterministic axis-sign LSH block restricts the
     pair join (the scale path); DuckDB reproduces the same blocks."""
@@ -1107,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup-components": _q_dedup_components,
         "dedup-canonical": _q_dedup_canonical,
         "corpus-curate": _q_corpus_curate,
+        "corpus-pack-shards": _q_corpus_pack_shards,
+        "corpus-sample-arith": _q_corpus_sample_arith,
         "embed-neardup-blocked": _q_embed_neardup_blocked,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
@@ -1699,6 +1733,39 @@ def oracle_sql() -> dict[str, str]:
                    keeper_id, is_duplicate, drop_reason,
                    drop_reason IS NULL AS keep
             FROM reasoned
+        """,
+        "corpus-pack-shards": """
+            -- token-budget shard packing: exclusive prefix sum in
+            -- doc_id order, shard = floor(cum_before / 2000)
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS int) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
+              FROM t)
+            SELECT doc_id, n_tokens, cum_before,
+                   CAST(floor(cum_before / 2000.0) AS bigint) AS shard
+            FROM c
+        """,
+        "corpus-sample-arith": """
+            -- deterministic stratified sampling, arith_mix family:
+            -- h = polynomial char hash of 'mix:' || doc_id, then the
+            -- multiplicative permutation (h*48271+11) % (2^31-1);
+            -- keep iff mixed % 1e6 < floor(rate(lang) * 1e6)
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split('mix:' || CAST(doc_id AS VARCHAR), ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                        (a, x) -> (a * 31 + x) % 2147483647)
+                      * 48271 + 11) % 2147483647 AS hv,
+                     CASE lang WHEN 'en' THEN 0.35 WHEN 'de' THEN 0.7
+                               ELSE 0.0 END AS rate
+              FROM documents)
+            WHERE hv % 1000000 < floor(rate * 1000000)
         """,
         "dedup-minhash-arith": f"""
             -- the arith-hash minhash mechanism, recomputed from scratch:
