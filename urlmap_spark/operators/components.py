@@ -146,14 +146,24 @@ def attach_components(
     id_col: str = "doc_id",
     a_col: str = "id_a",
     b_col: str = "id_b",
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """df + a `component` column: the component min for nodes that near-
-    dup pairs reach, the node's own id for singletons. The labels side
-    is one row per paired node (far smaller than df when duplication is
-    sparse), so Spark broadcasts it under the default threshold and the
-    big side never shuffles."""
-    labels = connected_components(pairs, a_col=a_col, b_col=b_col)
+    dup pairs reach, the node's own id for singletons.
+
+    The labels side is one row per PAIRED node — far smaller than df
+    when duplication is sparse — but it hangs off localCheckpoint'd
+    iteration output, for which Catalyst has NO size statistics: the
+    optimizer defaults it to "huge" and picks a sort-merge join that
+    shuffles the whole corpus (observed in the static plan). Labels are
+    therefore checkpointed, counted (exact and cheap — one job over the
+    materialized frame) and broadcast-HINTED while under
+    broadcast_max_rows; above the threshold the sort-merge join is the
+    correct plan and stands."""
+    labels = connected_components(pairs, a_col=a_col, b_col=b_col).localCheckpoint()
     lab = labels.withColumnRenamed("id", id_col)
+    if broadcast_max_rows and labels.count() <= broadcast_max_rows:
+        lab = F.broadcast(lab)
     return (
         df.join(lab, id_col, "left")
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
