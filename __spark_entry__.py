@@ -736,6 +736,44 @@ def _q_corpus_curate(spark, sf_dir):
              "keeper_id", "is_duplicate", "drop_reason", "keep")
 
 
+def _q_image_dedup_canonical(spark, sf_dir):
+    """The image-corpus dedup step (LAION-style): phash hamming pairs
+    (hash_neardup_pairs, exact pigeonhole banding) -> connected
+    components -> keeper = highest-RESOLUTION member of each near-dup
+    group (ties -> min id). Same planted single-bit-flip phash corpus
+    as image-phash-neardup, plus a deterministic arithmetic resolution
+    column; DuckDB recomputes pairs, groups (recursive reach CTE) and
+    keepers bit-for-bit."""
+    _ship_package(spark)
+    from urlmap_spark.operators.components import canonical_docs
+    from urlmap_spark.operators.dedup import hash_neardup_pairs
+
+    imgs = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 7 = 3 AND doc_id > 0 "
+            "THEN doc_id - 1 ELSE doc_id END AS base",
+            "CASE WHEN doc_id % 7 = 3 AND doc_id > 0 "
+            "THEN CAST(doc_id % 59 AS INT) ELSE -1 END AS fbit")
+        .selectExpr(
+            "doc_id AS image_id",
+            "((((base*17713+41)%4096)*65536 + ((base*20011+5)%65536))"
+            "*65536 + ((base*14407+29)%65536))*65536 "
+            "+ ((base*24421+11)%65536) AS p0", "fbit")
+        .selectExpr(
+            "image_id",
+            "CASE WHEN fbit >= 0 THEN p0 ^ shiftleft(CAST(1 AS BIGINT), fbit) "
+            "ELSE p0 END AS phash",
+            "(64 + image_id % 97) * (64 + image_id % 89) AS px"))
+    pairs = hash_neardup_pairs(imgs, id_col="image_id", hash_col="phash",
+                               max_hamming=3).select("id_a", "id_b")
+    return canonical_docs(
+        imgs.select("image_id", "px"), pairs,
+        id_col="image_id", quality_col="px",
+    ).select("image_id", "px", "component", "keeper_id", "is_duplicate")
+
+
 def _q_corpus_pack_shards(spark, sf_dir):
     """Token-budget shard packing (operators/packing.py): shard =
     floor(exclusive prefix sum of n_tokens / budget) in doc_id order,
@@ -1141,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus-curate": _q_corpus_curate,
         "corpus-pack-shards": _q_corpus_pack_shards,
         "corpus-sample-arith": _q_corpus_sample_arith,
+        "image-dedup-canonical": _q_image_dedup_canonical,
         "embed-neardup-blocked": _q_embed_neardup_blocked,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
@@ -1987,6 +2026,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
             FROM hx a JOIN hx b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "image-dedup-canonical": """
+            -- phash pairs -> near-dup groups -> best-resolution keeper
+            WITH RECURSIVE ph AS (
+              SELECT doc_id AS image_id,
+                     CASE WHEN doc_id % 7 = 3 AND doc_id > 0
+                          THEN doc_id - 1 ELSE doc_id END AS base,
+                     CASE WHEN doc_id % 7 = 3 AND doc_id > 0
+                          THEN CAST(doc_id % 59 AS INTEGER) ELSE -1 END AS fbit
+              FROM documents WHERE doc_id < 400),
+            h AS (
+              SELECT image_id,
+                     ((((base*17713+41)%4096)*65536 + ((base*20011+5)%65536))
+                      *65536 + ((base*14407+29)%65536))*65536
+                     + ((base*24421+11)%65536) AS p0, fbit
+              FROM ph),
+            hx AS (
+              SELECT image_id,
+                     CASE WHEN fbit >= 0
+                          THEN xor(p0, (CAST(1 AS BIGINT) << fbit))
+                          ELSE p0 END AS phash,
+                     (64 + image_id % 97) * (64 + image_id % 89) AS px
+              FROM h),
+            prs AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM hx a JOIN hx b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM prs WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM prs WHERE id_a <> id_b),
+            reach(n, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.n),
+            comp AS (SELECT n AS image_id, min(r) AS component FROM reach GROUP BY n),
+            lab AS (
+              SELECT i.image_id, i.px,
+                     coalesce(c.component, i.image_id) AS component
+              FROM hx i LEFT JOIN comp c USING (image_id)),
+            keep_sel AS (
+              SELECT component, image_id AS keeper_id FROM (
+                SELECT component, image_id,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY px DESC, image_id ASC) AS rn
+                FROM lab) WHERE rn = 1)
+            SELECT l.image_id, l.px, l.component, k.keeper_id,
+                   l.image_id <> k.keeper_id AS is_duplicate
+            FROM lab l JOIN keep_sel k USING (component)
         """,
         "image-phash-arith": """
             -- regenerate every ramp pixel from the closed form and
