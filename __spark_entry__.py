@@ -520,6 +520,28 @@ def _q_global_cap_schedule(spark, sf_dir):
     return sched.select("url", "order")
 
 
+def _q_priority_schedule(spark, sf_dir):
+    """Priority-queue scheduler (north_rule: the frontier is a PRIORITY
+    queue): budget winners are picked highest-priority-first, FIFO order
+    breaking ties, through BOTH two-phase top-k stages (per-host quota,
+    then the salted global cap) — value-checked vs the straightforward
+    SQL double ranking."""
+    _ship_package(spark)
+    from urlmap_spark.operators.politeness import schedule_frontier
+
+    orders = _t(spark, sf_dir, "orders")
+    frontier = orders.select(
+        F.concat(F.lit("https://c"), (F.col("o_custkey") % 50).cast("string"),
+                 F.lit(".test/p"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.lit(1).alias("depth"),
+        F.col("o_orderkey").alias("order"),
+        (F.col("o_orderkey") % 7).alias("prio"),
+    )
+    sched, _ = schedule_frontier(frontier, default_quota=3, global_cap=100,
+                                 priority_col="prio")
+    return sched.select("url", "order", "prio")
+
+
 def _q_extract_same_domain(spark, sf_dir):
     """The REAL extract_same_domain operator (parser.go:211-246): full
     canonicalization, then keep only outlinks on the page's own host."""
@@ -1164,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lenient-valid-filter": _q_lenient_valid,
         "quota-schedule": _q_quota_schedule,
         "global-cap-schedule": _q_global_cap_schedule,
+        "priority-schedule": _q_priority_schedule,
         "extract-same-domain": _q_extract_same_domain,
         "robots-gate": _q_robots_gate,
         "seen-bloom-anti-join": _q_seen_bloom,
@@ -1512,6 +1535,23 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT url, "order" FROM q WHERE rn <= 3)
             SELECT url, "order" FROM (
               SELECT url, "order", row_number() OVER (ORDER BY "order") AS g FROM s)
+            WHERE g <= 100
+        """,
+        "priority-schedule": """
+            WITH f AS (
+              SELECT 'https://c' || (o_custkey % 50) || '.test/p' || o_orderkey AS url,
+                     o_orderkey AS "order", (o_custkey % 50) AS h,
+                     (o_orderkey % 7) AS prio
+              FROM orders),
+            q AS (
+              SELECT url, "order", prio,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY prio DESC, "order") AS rn
+              FROM f),
+            s AS (SELECT url, "order", prio FROM q WHERE rn <= 3)
+            SELECT url, "order", prio FROM (
+              SELECT url, "order", prio,
+                     row_number() OVER (ORDER BY prio DESC, "order") AS g FROM s)
             WHERE g <= 100
         """,
         "extract-same-domain": """

@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "default here is 1 — pass 3 when the corpus "
                         "models transience via a transient_5xx column)")
     p.add_argument("--quota", type=int, default=0, help="per-host per-round cap (0 = unlimited)")
+    p.add_argument("--priority", default=None, metavar="SQL_EXPR",
+                   help="frontier priority expression over (url, depth, "
+                        "order): budget winners (per --quota / --rate-limit) "
+                        "are picked highest-priority-first, FIFO order "
+                        "breaking ties — the frontier-as-priority-queue "
+                        "mode; requires --quota or --rate-limit")
     p.add_argument("--round-budget", type=float, default=30.0,
                    help="seconds of wall-clock a round models; robots "
                         "Crawl-delay d becomes floor(budget/d) fetches/round "
@@ -202,6 +208,7 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         host_quota=host_quota,
         default_quota=args.quota or None,
         global_cap=args.rate_limit or None,
+        priority_expr=args.priority,
         bloom_seen=args.seen_filter is not None,
         seen_filter=args.seen_filter or "bloom",
         broadcast_seen_max_urls=args.broadcast_seen_max,

@@ -31,6 +31,7 @@ def schedule_frontier(
     order_col: str = "order",
     n_salts: int = 16,
     cap_salts: int = 64,
+    priority_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (scheduled, deferred).
 
@@ -39,8 +40,21 @@ def schedule_frontier(
     default_quota: quota for hosts absent from host_quota (None = no limit).
     global_cap: max scheduled rows per round (None = no limit); lowest
     ``order`` (earliest-discovered) rows win, matching FIFO semantics.
+    priority_col: optional numeric column — when set, the frontier is a
+    PRIORITY queue (north_rule): budget winners are picked by highest
+    priority first, FIFO ``order`` breaking ties, in every stage (per-host
+    quota and global cap). The composite key stays distinct per row
+    (``order`` is globally unique), so both two-phase top-k stages keep
+    their exactness and skew bounds unchanged.
     """
     f = frontier.withColumn("_host", F.expr("try_parse_url(url, 'HOST')"))
+    if priority_col is not None:
+        # ascending surrogate: rank by (-priority, order) == priority desc
+        f = f.withColumn("_pk", -F.col(priority_col))
+        sort_names = ["_pk", order_col]
+    else:
+        sort_names = [order_col]
+    sort_cols = [F.col(c) for c in sort_names]
     if host_quota is not None or default_quota is not None:
         if host_quota is not None:
             f = f.join(F.broadcast(host_quota.select(F.col("host").alias("_host"), "quota")),
@@ -51,13 +65,13 @@ def schedule_frontier(
         # phase 1: rank within (host, salt) — bounds any single task even
         # when one host dominates the round
         f = f.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
-        w1 = Window.partitionBy("_host", "_salt").orderBy(order_col)
+        w1 = Window.partitionBy("_host", "_salt").orderBy(*sort_cols)
         f = f.withColumn("_r1", F.row_number().over(w1))
         # survivors: at most `quota` per salt can ever make the final cut
         survivors = f.filter(F.col("quota").isNull() | (F.col("_r1") <= F.col("quota")))
         losers = f.filter(~(F.col("quota").isNull() | (F.col("_r1") <= F.col("quota"))))
         # phase 2: exact per-host rank over the (<= n_salts * quota) survivors
-        w2 = Window.partitionBy("_host").orderBy(order_col)
+        w2 = Window.partitionBy("_host").orderBy(*sort_cols)
         survivors = survivors.withColumn("_r2", F.row_number().over(w2))
         ok = F.col("quota").isNull() | (F.col("_r2") <= F.col("quota"))
         sched = survivors.filter(ok).drop("_r1", "_r2", "_salt", "quota")
@@ -84,17 +98,20 @@ def schedule_frontier(
         from .order import with_global_order
 
         g = sched.withColumn("_gs", F.pmod(F.xxhash64("url"), F.lit(cap_salts)))
-        w1 = Window.partitionBy("_gs").orderBy(order_col)
+        w1 = Window.partitionBy("_gs").orderBy(*sort_cols)
         g = g.withColumn("_g1", F.row_number().over(w1))
         surv = g.filter(F.col("_g1") <= global_cap)
         losers = g.filter(F.col("_g1") > global_cap).drop("_g1", "_gs")
         # order values are globally unique (with_global_order assigns
         # them), satisfying the distinct-sort-key requirement
-        surv, _ = with_global_order(surv, [order_col], order_col="_g2", start=1)
+        surv, _ = with_global_order(surv, sort_names, order_col="_g2", start=1)
         deferred = deferred.unionByName(
             surv.filter(F.col("_g2") > global_cap).drop("_g1", "_g2", "_gs")
         ).unionByName(losers)
         sched = surv.filter(F.col("_g2") <= global_cap).drop("_g1", "_g2", "_gs")
+    if priority_col is not None:
+        sched = sched.drop("_pk")
+        deferred = deferred.drop("_pk")
     return sched, deferred
 
 

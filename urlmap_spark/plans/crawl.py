@@ -164,6 +164,24 @@ class CrawlConfig:
                                              # B×rounds. Snapshot-isolated:
                                              # a crash mid-compaction leaves
                                              # the deltas authoritative
+    priority_expr: str | None = None         # SQL expression over the frontier
+                                             # columns (url, depth, order[,
+                                             # attempt]) -> numeric priority:
+                                             # when a politeness budget defers
+                                             # rows, budget winners are picked
+                                             # HIGHEST priority first (FIFO
+                                             # order breaks ties) instead of
+                                             # plain FIFO — the north_rule's
+                                             # frontier-as-priority-queue.
+                                             # Requires a budget (host_quota /
+                                             # default_quota / global_cap);
+                                             # without one every frontier row
+                                             # is processed anyway and a
+                                             # priority would be a silent
+                                             # no-op, so that combination is
+                                             # rejected. Delays, never drops:
+                                             # the final URL-seen set is
+                                             # priority-invariant (tested)
     progress: object | None = None           # per-round callback(metrics dict)
                                              # — the batch analog of the
                                              # reference's live progress ticker
@@ -381,6 +399,12 @@ def crawl(
         total_skipped = 0
         politeness = (cfg.host_quota is not None or cfg.default_quota is not None
                       or cfg.global_cap is not None)
+        if cfg.priority_expr is not None and not politeness:
+            raise ValueError(
+                "priority_expr needs a politeness budget (host_quota / "
+                "default_quota / global_cap) to act on — without one the "
+                "whole frontier is processed every round and the priority "
+                "would be a silent no-op")
         # driver-side frontier count: known from the previous round's ordering
         # pass (no count() job per round); -1 = unknown (resume), count once
         n_frontier = (frontier.count()
@@ -434,8 +458,16 @@ def crawl(
             n_deferred = 0
             if politeness:
                 fcols = ["url", "depth", "order"] + (["attempt"] if has_attempt else [])
+                sched_in, pcol = process, None
+                if cfg.priority_expr is not None:
+                    sched_in = process.withColumn(
+                        "_priority", F.expr(cfg.priority_expr))
+                    pcol = "_priority"
                 sched, deferred = schedule_frontier(
-                    process, cfg.host_quota, cfg.default_quota, cfg.global_cap)
+                    sched_in, cfg.host_quota, cfg.default_quota, cfg.global_cap,
+                    priority_col=pcol)
+                if pcol is not None:
+                    sched = sched.drop(pcol)
                 deferred = deferred.select(*fcols).localCheckpoint(eager=True)
                 n_deferred = deferred.count()
             else:
