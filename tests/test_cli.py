@@ -250,3 +250,34 @@ def test_cli_disk_seen(spark, tmp_path):
     rc = cli.main(["https://h.test/", "--corpus", corpus_p,
                    "--disk-seen"], _spark=spark)
     assert rc == 2  # disk_seen requires checkpoint -> clean error path
+
+
+def test_cli_priority_queue(spark, tmp_path, capsys):
+    """--priority turns the frontier into a priority queue through the CLI
+    (north_rule): with a --rate-limit budget the final URL set is identical
+    to the FIFO run (delays never drop); without any budget the flag is a
+    clean rc=2 diagnostic, never a silent no-op."""
+    corpus_p = str(tmp_path / "corpus.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    import glob
+
+    base = str(tmp_path / "out-fifo")
+    rc = cli.main(["https://h.test/", "--corpus", corpus_p,
+                   "--no-path-prefix", "--output", base], _spark=spark)
+    assert rc == 0
+    want = open(glob.glob(base + "/part-*")[0]).read().splitlines()
+
+    out_p = str(tmp_path / "out-prio")
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p, "--no-path-prefix",
+        "--rate-limit", "2", "--priority", "xxhash64(url)",
+        "--output", out_p,
+    ], _spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+    assert open(glob.glob(out_p + "/part-*")[0]).read().splitlines() == want
+
+    rc = cli.main(["https://h.test/", "--corpus", corpus_p,
+                   "--priority", "depth"], _spark=spark)
+    assert rc == 2  # priority without a budget -> clean error path
+    assert "priority" in capsys.readouterr().err
