@@ -117,6 +117,26 @@ def test_priority_global_cap_and_tiebreak(spark):
     assert sorted(r["order"] for r in s2.collect()) == list(range(40))
 
 
+def test_priority_null_is_lowest(spark):
+    """A partial priority_expr (null for unmatched rows) must rank its
+    null rows LAST, not first — Spark's asc-nulls-first default would
+    otherwise hand them top priority via the negated surrogate. Pinned
+    through both stages (per-host quota and global cap)."""
+    rows = [(f"https://h.test/p{i}", 1, i, 5 if i >= 10 else None)
+            for i in range(20)]
+    fr = spark.createDataFrame(
+        rows, "url string, depth int, `order` long, prio long")
+    sched, deferred = schedule_frontier(fr, default_quota=8, priority_col="prio")
+    # the 8 quota slots go to prio=5 rows (orders 10..17), never the nulls
+    assert sorted(r["order"] for r in sched.collect()) == list(range(10, 18))
+    assert sched.count() + deferred.count() == 20
+    s2, d2 = schedule_frontier(fr, global_cap=12, priority_col="prio")
+    # cap: all ten prio=5 rows, then the two earliest nulls by FIFO order
+    assert sorted(r["order"] for r in s2.collect()) == \
+        sorted(list(range(10, 20)) + [0, 1])
+    assert s2.count() + d2.count() == 20
+
+
 def test_priority_crawl_seen_set_invariant(spark):
     """A priority-driven crawl reaches the SAME final URL-seen set as the
     FIFO crawl under the same budget (priorities reorder rounds, never

@@ -57,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frontier priority expression over (url, depth, "
                         "order): budget winners (per --quota / --rate-limit) "
                         "are picked highest-priority-first, FIFO order "
-                        "breaking ties — the frontier-as-priority-queue "
+                        "breaking ties (a null priority ranks lowest) — "
+                        "the frontier-as-priority-queue "
                         "mode; requires --quota or --rate-limit")
     p.add_argument("--round-budget", type=float, default=30.0,
                    help="seconds of wall-clock a round models; robots "

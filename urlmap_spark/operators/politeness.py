@@ -49,8 +49,18 @@ def schedule_frontier(
     """
     f = frontier.withColumn("_host", F.expr("try_parse_url(url, 'HOST')"))
     if priority_col is not None:
-        # ascending surrogate: rank by (-priority, order) == priority desc
-        f = f.withColumn("_pk", -F.col(priority_col))
+        # ascending surrogate: rank by (-priority, order) == priority desc.
+        # Null priorities coalesce to -inf (null = LOWEST priority, never
+        # highest): Spark's default asc ordering puts nulls FIRST, so a
+        # partial priority_expr like `CASE WHEN depth = 0 THEN 10 END`
+        # would otherwise hand its unmatched (null) rows top priority —
+        # and the normalization keeps null placement identical between
+        # the phase-1 windows and with_global_order's range shuffle.
+        # Uniform double cast; priorities needing > 2^53 integer
+        # distinctions are out of scope (document, don't support).
+        f = f.withColumn(
+            "_pk", -F.coalesce(F.col(priority_col).cast("double"),
+                               F.lit(float("-inf"))))
         sort_names = ["_pk", order_col]
     else:
         sort_names = [order_col]

@@ -179,7 +179,10 @@ class CrawlConfig:
                                              # is processed anyway and a
                                              # priority would be a silent
                                              # no-op, so that combination is
-                                             # rejected. Delays, never drops:
+                                             # rejected. Null priority ranks
+                                             # LOWEST (a partial CASE expr's
+                                             # unmatched rows defer, not win).
+                                             # Delays, never drops:
                                              # the final URL-seen set is
                                              # priority-invariant (tested)
     progress: object | None = None           # per-round callback(metrics dict)
