@@ -129,6 +129,20 @@ def test_canonical_docs_quality_keeper(spark):
     }
 
 
+def test_canonical_docs_null_quality_never_wins(spark):
+    """A null quality ranks WORST, not best: struct min() puts a null
+    field first, so without normalization the unscored member would be
+    crowned keeper. Null-only components fall back to min id."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, None)],
+        "doc_id long, n_chars long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["keeper_id"]
+           for r in canonical_docs(docs, pairs, quality_col="n_chars").collect()}
+    assert got == {1: 2, 2: 2, 3: 3, 4: 3}
+
+
 def test_canonical_docs_min_id_keeper_passes_columns(spark):
     docs = spark.createDataFrame(
         [(4, "d"), (2, "b"), (9, "z")], "doc_id long, text string")

@@ -47,6 +47,18 @@ def test_pack_shards_budget_semantics(spark):
     assert sums == {0: 13, 1: 14, 2: 4}
 
 
+def test_pack_shards_null_tokens_count_zero(spark):
+    """Null token counts pack as 0-size documents instead of poisoning
+    the prefix sum (sum() over an all-null range partition is null, and
+    null cum_before would null every later shard id)."""
+    rows = [(0, 5), (1, None), (2, 7), (3, None), (4, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_shards(df, budget=10)
+    got = {r["doc_id"]: r["shard"] for r in out.collect()}
+    # cum_before: 0, 5, 5, 12, 12 -> shards 0, 0, 0, 1, 1
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
 def test_pack_shards_empty(spark):
     df = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_shards(df, budget=10).collect() == []

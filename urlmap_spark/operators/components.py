@@ -192,8 +192,12 @@ def canonical_docs(
     if quality_col is not None:
         # min(struct(-quality, id)): max quality, then min id on ties.
         # Negation needs a numeric quality column (lengths/scores are).
+        # Null quality coalesces to -inf (null = WORST): struct ordering
+        # puts a null field first, so min() would otherwise crown a
+        # null-quality member keeper over every scored one.
         key = F.struct(
-            (-F.col(quality_col).cast("double")).alias("_nq"),
+            (-F.coalesce(F.col(quality_col).cast("double"),
+                         F.lit(float("-inf")))).alias("_nq"),
             F.col(id_col).alias("_i"),
         )
     else:

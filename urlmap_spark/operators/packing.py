@@ -122,16 +122,20 @@ def with_running_total(
     offsets + per-partition running sum — the with_global_order pattern
     with sum instead of count. Sort keys must be distinct per row (ties
     spanning a range boundary would make the prefix partition-dependent).
+    A null value counts as 0 (it would otherwise poison every downstream
+    prefix — and sum() over an all-null partition is null, not 0, which
+    would crash the offset fold).
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in sort_cols]
+    val = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
     ranged = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     sums = {
         r["_pid"]: r["s"]
         for r in with_pid.groupBy("_pid")
-        .agg(F.sum(F.col(value_col)).alias("s"))
+        .agg(F.sum(val).alias("s"))
         .collect()
     }
     if not sums:
@@ -150,7 +154,7 @@ def with_running_total(
         .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = F.sum(F.col(value_col)).over(w) - F.col(value_col)
+    run = F.sum(val).over(w) - val
     return (
         with_pid.withColumn(
             total_col, (run + offmap[F.col("_pid")]).cast("long")
