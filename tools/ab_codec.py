@@ -41,17 +41,31 @@ def main() -> None:
     gen.sparkContext.setLogLevel("ERROR")
     cp = bench.ensure_vp_corpus(gen)
     gen.stop()
-    a, b = [], []
+    res = {"lz4": [], "zstd": []}
+    ratios = []
     for t in range(trials):
-        ra = one(cores, "lz4", cp)
-        print(f"[{cores}] trial {t} lz4 : {ra}", flush=True)
-        a.append(ra)
-        rb = one(cores, "zstd", cp)
-        print(f"[{cores}] trial {t} zstd: {rb}", flush=True)
-        b.append(rb)
+        # ABBA order alternation: within a trial one arm always runs on
+        # later (different) silicon; alternating which arm goes second
+        # cancels monotonic host drift across an even number of trials
+        # (run 1's lz4-always-first schedule read as a fake zstd trend).
+        order = ("lz4", "zstd") if t % 2 == 0 else ("zstd", "lz4")
+        pair = {}
+        for codec in order:
+            r = one(cores, codec, cp)
+            print(f"[{cores}] trial {t} {codec:4s}: {r}", flush=True)
+            res[codec].append(r)
+            pair[codec] = r
+        ratios.append(round(pair["zstd"]["steady_urls_per_sec"]
+                            / pair["lz4"]["steady_urls_per_sec"], 3))
     best = lambda rs: max(rs, key=lambda r: r["steady_urls_per_sec"])  # noqa: E731
-    print(f"best lz4 : {best(a)}")
-    print(f"best zstd: {best(b)}")
+    gm = 1.0
+    for r in ratios:
+        gm *= r
+    gm = gm ** (1.0 / len(ratios))
+    print(f"best lz4 : {best(res['lz4'])}")
+    print(f"best zstd: {best(res['zstd'])}")
+    print(f"per-trial zstd/lz4 steady ratios: {ratios} "
+          f"(geomean {gm:.3f}; order alternated ABBA)")
 
 
 if __name__ == "__main__":
