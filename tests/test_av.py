@@ -43,10 +43,29 @@ def test_audio_poison_pill_isolated(spark):
     av = spark.createDataFrame(
         [(0, AV.encode_rawa(AV.audio_samples_of(0), 8000), "rawa"),
          (1, b"\xff\xfbencoded-mp3-junk", "mp3"),
-         (2, b"RAWAtruncated", "rawa")],
+         (2, b"RAWAtruncated", "rawa"),
+         (3, None, "rawa"),           # null payload -> TypeError class
+         (4, b"RAWAxx", "rawa")],     # header shorter than 12 -> struct.error
         "doc_id long, bytes binary, fmt string")
     out = AV.audio_chunk_features(av, chunk=512).select("doc_id").distinct().collect()
     assert {r["doc_id"] for r in out} == {0}
+
+
+def test_video_poison_pill_isolated(spark):
+    """Same isolation classes on the video path, for both consumers
+    (frame_sample features and frame_extract stills)."""
+    good = AV.encode_rawv(AV.video_frames_of(0))
+    av = spark.createDataFrame(
+        [(0, good, "rawv"),
+         (1, None, "rawv"),            # null payload
+         (2, b"RAWVxx", "rawv"),       # truncated header -> struct.error
+         (3, b"JUNKxxxxxxxxxx", "rawv"),  # bad magic -> ValueError
+         (4, b"h264-junk-bytes", "h264")],  # stubbed codec
+        "doc_id long, bytes binary, fmt string")
+    sampled = AV.frame_sample(av).select("doc_id").distinct().collect()
+    assert {r["doc_id"] for r in sampled} == {0}
+    stills = AV.frame_extract(av).select("image_id").collect()
+    assert all(r["image_id"].startswith("v0/") for r in stills) and stills
 
 
 def test_video_container_roundtrip():

@@ -43,6 +43,28 @@ def test_unsupported_codec_is_poison_pill_row(spark):
     assert len(out) == 1 and not out[0]["decode_ok"]
 
 
+def test_null_and_truncated_bytes_are_isolated(spark):
+    """Failure classes BEYOND the decoder's own ValueError — null bytes
+    (TypeError on the buffer slice), a truncated PNG chunk header
+    (struct.error), an unparseable image_id (ValueError outside the
+    decoder) — are isolation cases at 10^10 rows, never job aborts:
+    decode_meta reports decode_ok=False, resize drops the row,
+    verify_payload reports a failed-verification row."""
+    df = spark.createDataFrame(
+        [("h0.example-42.test/index", None, "ppm", "x", 0),
+         ("h1.example-42.test/p1",
+          b"\x89PNG\r\n\x1a\n\x00\x00", "png", "x", 0),
+         ("not-a-corpus-id", None, "ppm", "x", 0)],
+        "image_id string, bytes binary, fmt string, caption string, phash long")
+    meta = decode_meta(df).collect()
+    assert len(meta) == 3 and not any(r["decode_ok"] for r in meta)
+    assert resize(df, 8, 8).count() == 0
+    rep = verify_payload(df, seed=42, n_hosts=3, total_pages=40).collect()
+    assert len(rep) == 3
+    assert not any(r["pixels_ok"] or r["caption_ok"] or r["phash_ok"]
+                   for r in rep)
+
+
 def test_crawl_with_payload_verification(spark, bytes_corpus):
     """Every successfully fetched page must pass the decoded-phash check
     — including pages reached through the left-join fetch where corpus

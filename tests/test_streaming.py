@@ -107,11 +107,13 @@ def test_host_quota_stream_state_survives_batches(spark, tmp_path):
 
     src = tmp_path / "events"
     src.mkdir()
-    # batch 1: h0 uses its full quota (2) inside window [0, 1000)
+    # batch 1: h0 uses its full quota (2) inside window [0, 1000); the
+    # null-ts row is malformed (unwindowable) and must be DROPPED by the
+    # operator without aborting the query or charging h0's budget
     pd.DataFrame({
-        "host": ["h0", "h0", "h1"],
-        "url": ["u0", "u1", "v0"],
-        "ts": [0, 10, 5],
+        "host": ["h0", "h0", "h1", "h0"],
+        "url": ["u0", "u1", "v0", "u_null_ts"],
+        "ts": pd.array([0, 10, 5, None], dtype="Int64"),
     }).to_parquet(src / "a_part0.parquet")
     # batch 2: h0 sends two more in the SAME window (blocked) and one
     # after the window rolls (allowed)
@@ -130,6 +132,7 @@ def test_host_quota_stream_state_survives_batches(spark, tmp_path):
     q.awaitTermination()
     rows = {r["url"]: (r["allowed"], r["used"])
             for r in spark.sql("SELECT * FROM hq_decisions").collect()}
+    assert "u_null_ts" not in rows  # malformed row dropped, not crashed on
     assert rows["u0"] == (True, 1) and rows["u1"] == (True, 2)
     # state carried into batch 2: budget already exhausted
     assert rows["u2"][0] is False and rows["u3"][0] is False

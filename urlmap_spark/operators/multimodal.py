@@ -50,7 +50,9 @@ def decode_meta(corpus: DataFrame) -> DataFrame:
                     arr = C.decode_image(r.bytes, r.fmt)
                     rows.append((r.image_id, r.fmt, arr.shape[1], arr.shape[0],
                                  float(arr.mean()), C.phash_of(arr), True))
-                except (NotImplementedError, ValueError):
+                except Exception:  # noqa: BLE001 — any decode failure is a False row
+                    # (null bytes -> TypeError, truncated chunk header ->
+                    # struct.error, unknown codec -> NotImplementedError)
                     rows.append((r.image_id, r.fmt, None, None, None, None, False))
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_META_SCHEMA.fields])
 
@@ -114,13 +116,17 @@ RESIZE_SCHEMA = T.StructType([
 
 def resize(corpus: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize (numpy stride sampling), re-encoded as ppm.
-    The canonical thumbnailing stage of an image training pipeline."""
+    The canonical thumbnailing stage of an image training pipeline.
+    Undecodable rows drop with isolation (poison-pill rule)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                arr = C.decode_image(r.bytes, r.fmt)
+                try:
+                    arr = C.decode_image(r.bytes, r.fmt)
+                except Exception:  # noqa: BLE001 — isolation, never job abort
+                    continue
                 yi = np.linspace(0, arr.shape[0] - 1, out_h).round().astype(int)
                 xi = np.linspace(0, arr.shape[1] - 1, out_w).round().astype(int)
                 small = arr[yi][:, xi]
@@ -161,21 +167,27 @@ def verify_payload(corpus: DataFrame, seed: int, n_hosts: int, total_pages: int,
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                host = r.image_id.split("/", 1)[0]
-                hi = int(host.split(".")[0][1:])
-                leaf = r.image_id.rsplit("/", 1)[-1]
-                pj = 0 if leaf == "index" else int(leaf[1:])
-                arr = C.decode_image(r.bytes, r.fmt)
-                ref = C.pixels_of(seed, hi, pj, arr.shape[1], arr.shape[0])
-                p = psnr(arr, ref)
-                if r.fmt in LOSSLESS_FMTS:
-                    px_ok = np.allclose(arr, ref)
-                else:
-                    px_ok = p >= min_psnr
-                ph_ok = C.phash_of(arr) == r.phash
-                cap_ok = (r.caption or "") == C.caption_of(
-                    seed, hi, pj, counts[hi], n_hosts, fanout)
-                rows.append((r.image_id, bool(px_ok), float(p), bool(cap_ok), bool(ph_ok)))
+                try:
+                    host = r.image_id.split("/", 1)[0]
+                    hi = int(host.split(".")[0][1:])
+                    leaf = r.image_id.rsplit("/", 1)[-1]
+                    pj = 0 if leaf == "index" else int(leaf[1:])
+                    arr = C.decode_image(r.bytes, r.fmt)
+                    ref = C.pixels_of(seed, hi, pj, arr.shape[1], arr.shape[0])
+                    p = psnr(arr, ref)
+                    if r.fmt in LOSSLESS_FMTS:
+                        px_ok = np.allclose(arr, ref)
+                    else:
+                        px_ok = p >= min_psnr
+                    ph_ok = C.phash_of(arr) == r.phash
+                    cap_ok = (r.caption or "") == C.caption_of(
+                        seed, hi, pj, counts[hi], n_hosts, fanout)
+                    rows.append((r.image_id, bool(px_ok), float(p),
+                                 bool(cap_ok), bool(ph_ok)))
+                except Exception:  # noqa: BLE001 — a row this op cannot even
+                    # decode/parse is by definition a failed verification:
+                    # report it, never abort the job (poison-pill rule)
+                    rows.append((r.image_id, False, 0.0, False, False))
             yield pd.DataFrame(rows, columns=[f.name for f in VERIFY_SCHEMA.fields])
 
     return corpus.select("image_id", "bytes", "fmt", "caption", "phash").mapInPandas(gen, VERIFY_SCHEMA)

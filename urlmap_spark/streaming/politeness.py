@@ -25,6 +25,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -70,8 +71,12 @@ def host_quota_decisions(fetches: DataFrame, quota: int,
             yield pd.DataFrame(out, columns=[f.name for f in DECISION_SCHEMA.fields])
         state.update((window_start, used))
 
+    # a null event time cannot be windowed or ordered: drop the row up
+    # front (JVM-side filter) instead of letting int(None) abort the
+    # whole streaming query inside the state function
     return (
-        fetches.groupBy("host")
+        fetches.filter(F.col("ts").isNotNull())
+        .groupBy("host")
         .applyInPandasWithState(
             decide, DECISION_SCHEMA, STATE_SCHEMA,
             "append", GroupStateTimeout.NoTimeout)
