@@ -160,8 +160,10 @@ def run_verified_crawl(spark, corpus_parquet: str) -> dict:
     # small Arrow batches pipeline the JVM->Python byte transfer against
     # the decode compute inside each task (one 10k-row batch per task
     # serializes the whole partition before Python starts): measured 18%
-    # on the decode stage at 8 cores
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+    # on the decode stage at 8 cores. Env override is the A/B hook
+    # (tools/ab_arrow_batch.py).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   os.environ.get("URLMAP_BENCH_ARROW_BATCH", "1024"))
     corpus = cached_corpus(spark, corpus_parquet)
     corpus.count()
     seeds = corpus.select("url").filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
