@@ -334,6 +334,11 @@ def main() -> None:
         results = {lo: None, hi: None}
         vres = {lo: None, hi: None}
         pair_eff = {"light": [], "vp": []}
+        # per-trial walls + steady throughput per operating point: the
+        # best-of fold below erases which SIDE of a slow pair stalled
+        # (r3-40 could not attribute its four 0.34-0.42 pairs to either
+        # operating point); these lists keep the raw per-trial numbers
+        per_trial = {"light": [], "vp": []}
         # per-PAIR ceiling snapshots: the whole-run ceiling above samples
         # the silicon once, but this host drifts WITHIN a run (r3-13's
         # light pairs [0.13, 1.02, 0.31]); a quick kernel re-measure
@@ -357,6 +362,10 @@ def main() -> None:
                 pair = {n: _one(run_crawl, cp, n, "crawl") for n in (lo, hi)}
                 pair_eff["light"].append(round(
                     (pair[hi]["urls_per_sec"] / pair[lo]["urls_per_sec"]) / 4.0, 3))
+                per_trial["light"].append({
+                    f"local{n}": {"wall_s": pair[n]["wall_s"],
+                                  "steady": pair[n]["steady_urls_per_sec"]}
+                    for n in (lo, hi)})
                 for n in (lo, hi):
                     if results[n] is None or \
                             pair[n]["urls_per_sec"] > results[n]["urls_per_sec"]:
@@ -365,6 +374,10 @@ def main() -> None:
                 vpair = {n: _one(run_verified_crawl, vcp, n, "vp") for n in (lo, hi)}
                 pair_eff["vp"].append(round(
                     (vpair[hi]["urls_per_sec"] / vpair[lo]["urls_per_sec"]) / 4.0, 3))
+                per_trial["vp"].append({
+                    f"local{n}": {"wall_s": vpair[n]["wall_s"],
+                                  "steady": vpair[n]["steady_urls_per_sec"]}
+                    for n in (lo, hi)})
                 for n in (lo, hi):
                     if vres[n] is None or \
                             vpair[n]["urls_per_sec"] > vres[n]["urls_per_sec"]:
@@ -415,6 +428,7 @@ def main() -> None:
         # the least-contaminated same-silicon reading
         report["pair_efficiencies"] = {
             k: v for k, v in pair_eff.items() if v}
+        report["per_trial"] = {k: v for k, v in per_trial.items() if v}
         print(json.dumps(report))
         if not (run_light and run_vp):
             return  # focused run: report only; the md needs both workloads
