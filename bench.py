@@ -410,6 +410,15 @@ def main() -> None:
                 round(min(e / max(c["comp"], 1e-9), 1.0), 3)
                 for e, c in zip(pair_eff["vp"], pair_ceilings)
             ]
+            # the same pair read against the MEMCPY ceiling: the VP crawl
+            # is DRAM-bound at the 8-core point (BENCH/BASELINE.md codec
+            # A/B + r3-32/-36 same-moment separations), so the bandwidth
+            # kernel is its natural ceiling; until now this reading was
+            # hand-computed per campaign record
+            vp_vs_memcpy = [
+                round(min(e / max(c["memcpy"], 1e-9), 1.0), 3)
+                for e, c in zip(pair_eff["vp"], pair_ceilings)
+            ]
             eff_vp = (vres[hi]["urls_per_sec"] / vres[lo]["urls_per_sec"]) / 4.0
             eff_vp_steady = (vres[hi]["steady_urls_per_sec"]
                              / max(vres[lo]["steady_urls_per_sec"], 1e-9)) / 4.0
@@ -422,7 +431,37 @@ def main() -> None:
                 # the VP pair read against ITS OWN pair's compute ceiling
                 "pair_vp_vs_ceiling": vp_vs_ceiling,
                 "best_pair_vp_vs_ceiling": round(max(vp_vs_ceiling), 3),
+                "pair_vp_vs_memcpy": vp_vs_memcpy,
+                "best_pair_vp_vs_memcpy": round(max(vp_vs_memcpy), 3),
             })
+        # mechanical stall detection (pre-declared, reporting only — the
+        # campaign record still carries every pair uncurated): a pair is
+        # "stalled" when either of its walls exceeds 1.5x the run's best
+        # wall at that operating point. r3-41's per-trial walls showed the
+        # recurring low-pair-under-clean-kernels shape is a host stall on
+        # one side (8-core wall == its own 2-core wall); this rule names
+        # those pairs in the JSON instead of leaving the read to the
+        # record's prose.
+        stalled = {}
+        for wk, rows in per_trial.items():
+            if not rows:
+                continue
+            best_wall = {n: min(r[f"local{n}"]["wall_s"] for r in rows)
+                         for n in (lo, hi)}
+            stalled[wk] = [
+                i for i, r in enumerate(rows)
+                if any(r[f"local{n}"]["wall_s"] > 1.5 * best_wall[n]
+                       for n in (lo, hi))
+            ]
+        report["stalled_pairs"] = stalled
+        clean = {
+            wk: [e for i, e in enumerate(pair_eff[wk])
+                 if i not in set(stalled.get(wk, []))]
+            for wk in pair_eff if pair_eff[wk]
+        }
+        report["clean_pair_efficiencies"] = clean
+        report["best_clean_pair_efficiency"] = {
+            wk: round(max(v), 3) for wk, v in clean.items() if v}
         # per-trial adjacent-pair efficiencies (drift diagnostic): wide
         # spread here = the host drifted DURING the run; the best pair is
         # the least-contaminated same-silicon reading
@@ -483,7 +522,13 @@ def main() -> None:
                 f"each trial pair, comp/memcpy): "
                 f"{[(c['comp'], c['memcpy']) for c in pair_ceilings]}; "
                 f"VP pair vs its own pair's compute ceiling: "
-                f"{vp_vs_ceiling} (best {max(vp_vs_ceiling):.3f}).\n\n"
+                f"{vp_vs_ceiling} (best {max(vp_vs_ceiling):.3f}); vs its "
+                f"own pair's memcpy ceiling (the DRAM-bound workload's "
+                f"natural ceiling): {vp_vs_memcpy} "
+                f"(best {max(vp_vs_memcpy):.3f}).\n\n"
+                f"Stalled pairs by the mechanical wall rule (either wall "
+                f"> 1.5x the run's best at that operating point): "
+                f"{stalled}.\n\n"
                 "Operating points 2/8: the widest N->4N pair inside this VM's "
                 "all-core-turbo envelope — pure-multiprocessing kernels (no "
                 "Spark) measure decode+phash at 0.96 for 2->8 but ~0.77 for "
