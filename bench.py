@@ -320,7 +320,20 @@ def main() -> None:
         # so the engine is judged against today's machine, not an
         # assumption. Best-of-N trials de-noise the shared host (observed
         # run-to-run swings up to 3x on identical plans).
-        lo, hi = (2, 8)
+        # --points LO,HI (default 2,8): an alternate N->4N pair. 1,4 is
+        # the complementary operating point to the standing 2,8 campaign:
+        # at 4 busy cores this box's shared DRAM is NOT yet saturated
+        # (memcpy kernel ~0.58 at 2->8 because saturation hits at two
+        # processes), so the 1->4 pair measures the engine where the
+        # sandbox's bandwidth wall does not bind — the regime a real
+        # multi-executor cluster is in, since each node brings its own
+        # memory channels.
+        if "--points" in argv:
+            lo, hi = (int(x) for x in argv[argv.index("--points") + 1].split(","))
+            if hi != 4 * lo or lo < 1:
+                raise SystemExit(f"--points must be an N,4N pair, got {lo},{hi}")
+        else:
+            lo, hi = (2, 8)
         ceiling = measure_ceiling(lo, hi)
         # INTERLEAVED trials: each trial index runs lo then hi back to
         # back (light pair, then VP pair). The drift this host exhibits
@@ -388,7 +401,7 @@ def main() -> None:
         # capped at 1.0 (a kernel more depressed than the engine itself
         # cannot push the reading above parity)
         report = {
-            "trials": trials, "workload": workload,
+            "trials": trials, "workload": workload, "points": [lo, hi],
             "silicon_ceiling_efficiency": ceiling["eff"],
             "silicon_memcpy_ceiling_efficiency": ceiling["memcpy_eff"],
             # per-pair silicon snapshots (same-moment attribution)
