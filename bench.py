@@ -542,11 +542,13 @@ def main() -> None:
                 f"Stalled pairs by the mechanical wall rule (either wall "
                 f"> 1.5x the run's best at that operating point): "
                 f"{stalled}.\n\n"
-                "Operating points 2/8: the widest N->4N pair inside this VM's "
-                "all-core-turbo envelope — pure-multiprocessing kernels (no "
-                "Spark) measure decode+phash at 0.96 for 2->8 but ~0.77 for "
-                "4->16 and blake2b ALU at ~0.70 for 4->16, so any wider pair "
-                "measures the silicon's frequency drop, not the engine. The "
+                f"Operating points {lo}/{hi}: the default 2/8 is the widest "
+                "N->4N pair inside this VM's all-core-turbo envelope — "
+                "pure-multiprocessing kernels (no Spark) measure decode+phash "
+                "at 0.96 for 2->8 but ~0.77 for 4->16 and blake2b ALU at "
+                "~0.70 for 4->16, so any wider pair measures the silicon's "
+                "frequency drop, not the engine; 1/4 (--points) is the "
+                "complementary pair below the DRAM-saturation knee. The "
                 "ceiling row above is re-measured in every run.\n"
             )
         return
