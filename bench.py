@@ -46,7 +46,14 @@ JOIN_PARTS = 64  # fetch-join partitioning, fixed across cluster sizes
 # decodes every fetched image and checks its perceptual hash — this is
 # the per-page CPU that a real crawl pipeline carries
 VP_HOSTS = 300
-VP_PAGES = 400_000
+# URLMAP_BENCH_VP_PAGES: size-sweep hook for the scaling campaign.
+# Per-round driver fixed cost (job scheduling, plan analysis, broadcast
+# build, codegen) does not shrink with cores; a bigger corpus makes
+# rounds longer without adding rounds (still depth 2), so measured
+# scaling efficiency should RISE with corpus size if that fixed cost —
+# and not the parallel fraction — is what the N->4N readings are losing.
+# The corpus cache key includes the size, so sweep points don't collide.
+VP_PAGES = int(os.environ.get("URLMAP_BENCH_VP_PAGES", "400000"))
 
 
 def _sf_tag() -> str:

@@ -269,6 +269,7 @@ def crawl(
                          "layout")
 
     try:
+        tick0 = _Tick(0)  # setup attribution (debug only)
         catalog = RoundCatalog(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
         # The crawl plan never touches `bytes` unless payload verification
         # is on; select the narrow columns explicitly so even a cache()
@@ -326,6 +327,7 @@ def crawl(
             frontier = frontier.select("url", "depth", "order").localCheckpoint(eager=True)
             seen = frontier.select("url")
             round_idx = 0
+            tick0("setup_seeds_df")
         else:
             frontier = spark.createDataFrame(
                 [(s, 0, i) for i, s in enumerate(seeds)], FRONTIER_SCHEMA)
@@ -342,6 +344,7 @@ def crawl(
         # seen is kept as a list of materialized deltas (union on demand):
         # no per-round checkpoint of the whole set, compacted past a threshold
         seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
+        tick0("setup_seen_ckpt")
         seeds_seen_small: DataFrame | None = None
         if cfg.disk_seen:
             # the only seen URLs that never reach the catalog's seen_delta
@@ -413,6 +416,7 @@ def crawl(
         n_frontier = (frontier.count()
                       if (resume and catalog is not None) or seeds_df is not None
                       else len(seeds))
+        tick0("setup_rest")
 
         while round_idx < cfg.max_rounds and n_frontier > 0:
             t0 = time.time()
@@ -826,6 +830,7 @@ def crawl(
             for p in seen_parts[1:]:
                 seen_df = seen_df.unionByName(p)
 
+        tickz = _Tick(round_idx)
         if fetch_parts:
             # fold ALL deferred per-round status aggregations in one job
             u = fetch_parts[0]
@@ -864,6 +869,8 @@ def crawl(
                     **({"payload_ok": int(r["payload_ok"] or 0)} if cfg.verify_payload else {}),
                     **({"rendered": int(r["rendered"] or 0)} if dispatch else {}),
                 })
+
+            tickz("final_fold")
 
         return CrawlRun(results=results, metrics=metrics, rounds=round_idx, seen=seen_df)
 
