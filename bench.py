@@ -409,6 +409,11 @@ def main() -> None:
         # cannot push the reading above parity)
         report = {
             "trials": trials, "workload": workload, "points": [lo, hi],
+            # corpus size under study (URLMAP_BENCH_VP_PAGES): the
+            # session-13 sweep showed measured efficiency rises with
+            # corpus size (per-round driver fixed cost amortizes), so a
+            # campaign record is not interpretable without this knob
+            "vp_pages": VP_PAGES,
             "silicon_ceiling_efficiency": ceiling["eff"],
             "silicon_memcpy_ceiling_efficiency": ceiling["memcpy_eff"],
             # per-pair silicon snapshots (same-moment attribution)
