@@ -129,7 +129,19 @@ def test_checkpoint_resume(spark, tmp_path):
     cat = RoundCatalog(ck)
     assert cat.committed_rounds() == list(range(resumed.rounds))
     lin = cat.read_union(spark, "lineage")
-    assert {"host", "n", "min_order", "max_order"} <= set(lin.columns)
+    assert {"bucket", "host", "n", "min_order", "max_order"} <= set(lin.columns)
+    # the lineage bucket IS the persisted frontier's partition key: every
+    # (bucket, host) row must agree with pmod(xxhash64(host), buckets), and
+    # the per-round n must sum to the committed frontier's row count
+    from pyspark.sql import functions as F
+    bad = lin.filter(
+        F.col("bucket") != F.pmod(F.xxhash64("host"), F.lit(16)).cast("int"))
+    assert bad.count() == 0
+    for rnd in cat.committed_rounds():
+        nf = cat.read(spark, rnd, "next_frontier")
+        lin_r = cat.read(spark, rnd, "lineage")
+        got_n = lin_r.agg(F.sum("n")).collect()[0][0] or 0
+        assert got_n == nf.count()
 
 
 def test_seen_set_equality(spark):

@@ -749,8 +749,15 @@ def crawl(
                                               existing=filters).localCheckpoint(eager=True)
 
             if catalog is not None:
+                # per-PARTITION lineage (north_rule): bucket is the same
+                # host-hash key the persisted frontier is partitioned by,
+                # so each lineage row describes one physical partition's
+                # slice of the frontier (host granularity within it)
                 lineage = next_frontier.groupBy(
-                    F.expr("try_parse_url(url, 'HOST')").alias("host")
+                    F.pmod(F.xxhash64(F.expr("try_parse_url(url, 'HOST')")),
+                           F.lit(cfg.frontier_host_buckets)).cast("int")
+                    .alias("bucket"),
+                    F.expr("try_parse_url(url, 'HOST')").alias("host"),
                 ).agg(F.count("*").alias("n"), F.min("order").alias("min_order"),
                       F.max("order").alias("max_order"))
                 # bucket the persisted frontier by host-hash UNLESS it is
