@@ -1035,6 +1035,70 @@ def _q_doc_winnow_pairs(spark, sf_dir):
         hash_expr=lambda g: arith_hash_expr(g, ARITH_MOD_31))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition: duplicate-token fraction
+    and the most-frequent-bigram fraction (Rae et al. 2021 §A1.1) —
+    all JVM higher-order functions, DuckDB recomputes both exactly."""
+    from urlmap_spark.functions.textstats import (
+        dup_token_frac_expr, top_ngram_frac_expr)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return docs.select(
+        "doc_id",
+        dup_token_frac_expr(F.col("text")).alias("dup_token_frac"),
+        top_ngram_frac_expr(F.col("text"), 2).alias("top_bigram_frac"),
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: deterministic email/IPv4/phone injection
+    (so the corpus actually contains PII), per-kind match counts on the
+    original text, and the scrubbed text — DuckDB runs the IDENTICAL
+    RE2-compatible regexes and the same replace chain."""
+    from urlmap_spark.functions.textstats import (
+        PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE,
+        pii_count_expr, pii_scrub_expr)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.test"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" node 10."),
+                            (F.col("doc_id") % 250).cast("string"),
+                            F.lit(".3.7"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" call +1-555-0100-1234")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        pii_count_expr(F.col("text"), PII_EMAIL_RE).alias("n_email"),
+        pii_count_expr(F.col("text"), PII_IPV4_RE).alias("n_ipv4"),
+        pii_count_expr(F.col("text"), PII_PHONE_RE).alias("n_phone"),
+        pii_scrub_expr(F.col("text")).alias("scrubbed"),
+    )
+
+
+def _q_decontam_ngram(spark, sf_dir):
+    """Benchmark decontamination: eval set = 200-char prefixes of every
+    37th document; a doc is contaminated when it shares >= 2 distinct
+    word 5-grams with ANY eval row. Broadcast semi-join shape (the eval
+    side is the small side at 100 TB); DuckDB recomputes every gram."""
+    _ship_package(spark)
+    from urlmap_spark.operators.decontam import contamination
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    eval_docs = (docs.filter(F.col("doc_id") % 37 == 0)
+                 .select(F.substring("text", 1, 200).alias("text")))
+    return contamination(docs, eval_docs, n=5, min_shared=2)
+
+
 def _q_image_phash_arith(spark, sf_dir):
     """Value check of the REAL image codec + phash pipeline (the
     verify_payload per-row invariant mechanism): closed-form ramp
@@ -1219,6 +1283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text-quality": _q_text_quality,
         "token-count": _q_token_count,
         "doc-fingerprint": _q_doc_fingerprint,
+        "repetition-stats": _q_repetition_stats,
+        "pii-scrub": _q_pii_scrub,
+        "decontam-ngram": _q_decontam_ngram,
         "doc-winnow-arith": _q_doc_winnow_arith,
         "doc-winnow-pairs": _q_doc_winnow_pairs,
         "image-decode-meta": _q_image_decode_meta,
@@ -1253,6 +1320,14 @@ def oracle_sql() -> dict[str, str]:
 
     s_en, s_de, s_es = _marker(en), _marker(de), _marker(es)
     stop = "'the','a','and','of','to','in','is','on'"
+
+    # PII regexes shared verbatim with the Spark side (RE2-compatible
+    # on purpose; no quotes/backslash-escapes to mangle in SQL strings)
+    from urlmap_spark.functions.textstats import (
+        PII_EMAIL_RE as _PII_EMAIL,
+        PII_IPV4_RE as _PII_IPV4,
+        PII_PHONE_RE as _PII_PHONE,
+    )
 
     return {
         "fetch-join": """
@@ -2340,6 +2415,75 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc-fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents
+        """,
+        "repetition-stats": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id < 400),
+            gr AS (
+              SELECT doc_id, t,
+                     list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                    i -> array_to_string(t[i:i+1], ' ')) AS grams
+              FROM tok)
+            SELECT doc_id,
+                   round(CASE WHEN len(t) > 0
+                              THEN (len(t) - len(list_distinct(t))) / len(t)
+                              ELSE 0.0 END, 6) AS dup_token_frac,
+                   round(list_max(list_transform(list_distinct(grams),
+                            u -> len(list_filter(grams, y -> y = u))))
+                         / len(grams), 6) AS top_bigram_frac
+            FROM gr
+        """,
+        "pii-scrub": f"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text
+                     || (CASE WHEN doc_id % 3 = 0
+                         THEN ' contact user' || doc_id || '@example.test'
+                         ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0
+                         THEN ' node 10.' || (doc_id % 250) || '.3.7'
+                         ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0
+                         THEN ' call +1-555-0100-1234' ELSE '' END) AS text
+              FROM documents WHERE doc_id < 500)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS int) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS int) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS int) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+            FROM injected
+        """,
+        "decontam-ngram": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents WHERE doc_id < 400),
+            docg AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                               i -> array_to_string(t[i:i+4], ' ')))) AS g
+              FROM tok),
+            evtok AS (
+              SELECT list_filter(string_split(lower(substring(text, 1, 200)), ' '),
+                                 x -> x <> '') AS t
+              FROM documents WHERE doc_id % 37 = 0 AND doc_id < 400),
+            evg AS (
+              SELECT DISTINCT unnest(list_distinct(
+                list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                               i -> array_to_string(t[i:i+4], ' ')))) AS g
+              FROM evtok),
+            shared AS (
+              SELECT d.doc_id, count(DISTINCT d.g) AS ns
+              FROM docg d JOIN evg e ON d.g = e.g GROUP BY d.doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(s.ns, 0) AS int) AS n_shared,
+                   coalesce(s.ns, 0) >= 2 AS contaminated
+            FROM tok t LEFT JOIN shared s ON t.doc_id = s.doc_id
         """,
         # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
         # embed-ann-lsh, embed-ann-ivf, image-decode-meta — each has a

@@ -72,3 +72,30 @@ def test_token_bounds_max(spark):
     out = curate_corpus(docs, allowed_langs=("en",), max_tokens=10)
     row = out.collect()[0]
     assert row["drop_reason"] == "length" and row["n_tokens"] == 50
+
+
+def test_repetition_rule_optional(spark):
+    # GOOD has many repeats of 'the' (dup_token_frac ~0.47); a tight
+    # cap drops it as 'repetition', and the rule outranks 'duplicate'
+    docs = spark.createDataFrame([(0, GOOD)], "doc_id long, text string")
+    row = curate_corpus(docs, allowed_langs=("en",),
+                        max_dup_token_frac=0.2).collect()[0]
+    assert row["drop_reason"] == "repetition" and row["dup_token_frac"] > 0.2
+    # default (None) leaves the column out and the doc kept
+    row = curate_corpus(docs, allowed_langs=("en",)).collect()[0]
+    assert row["keep"] and "dup_token_frac" not in row.asDict()
+
+
+def test_decontam_rule_optional(spark):
+    leaky = "the cat and purple rivers flow beneath seven bridges at dawn"
+    docs = spark.createDataFrame(
+        [(0, GOOD), (1, leaky)], "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [("purple rivers flow beneath seven bridges",)], "text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in curate_corpus(docs, allowed_langs=("en",),
+                                  eval_docs=evals, decontam_n=3,
+                                  decontam_min_shared=2).collect()}
+    assert got[1]["drop_reason"] == "contaminated"
+    assert got[1]["n_shared_eval"] >= 2 and got[1]["contaminated"]
+    assert got[0]["keep"] and not got[0]["contaminated"]

@@ -121,3 +121,73 @@ def winnow_minima_expr(grams: Column, window: int = 4) -> Column:
     return F.array_distinct(F.transform(
         F.sequence(F.lit(0), n_windows - 1),
         lambda j: F.array_min(F.slice(grams, j + 1, window))))
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition stats (the Gopher quality-filter family:
+# Rae et al. 2021 §A1.1 use duplicate-line/duplicate-n-gram fractions
+# to drop degenerately repetitive web text). Whole-stage-codegen-free
+# higher-order functions, zero Python; each has an exact DuckDB twin
+# (repetition-stats oracle entry). The reference has no corpus ops —
+# this is part of the training-data mandate.
+# ---------------------------------------------------------------------------
+
+
+def dup_token_frac_expr(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    (n - n_distinct) / n. 0.0 for empty text."""
+    toks = tokens_expr(F.lower(text))
+    n = F.size(toks)
+    return F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(toks))) / n).otherwise(F.lit(0.0)), 6
+    )
+
+
+def _grams_expr(toks: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates (unlike dedup.shingles_expr, which
+    distincts — repetition scoring needs the multiplicities). Same
+    short-text clamp: < n tokens collapse to one whole-text gram, and
+    sequence() never sees a descending range."""
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def top_ngram_frac_expr(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's n-grams occupied by its single most
+    frequent n-gram — the classic '0.18 of 2-grams in one bigram'
+    repetition signal. Count per distinct gram is an array filter, so
+    this is O(distinct_grams x grams) PER DOCUMENT: bounded-length docs
+    only (at 100 TB the filter chain runs after token-count bounds, so
+    the length cap upstream bounds this too)."""
+    toks = tokens_expr(F.lower(text))
+    grams = _grams_expr(toks, n)
+    counts = F.transform(
+        F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g))
+    )
+    return F.round(F.array_max(counts) / F.size(grams), 6)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction of emails / IPv4 / phone numbers) —
+# the standard pre-training privacy pass. Patterns are deliberately
+# RE2-compatible (no backrefs/lookaround) so the DuckDB oracle runs
+# the IDENTICAL regex; Spark's regexp_replace replaces all matches,
+# DuckDB needs the 'g' flag. Scrub order is fixed email -> ip -> phone
+# so earlier redactions cannot create later false matches (the counts
+# are all taken on the ORIGINAL text).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}-\d{4}"
+
+
+def pii_count_expr(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def pii_scrub_expr(text: Column) -> Column:
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")

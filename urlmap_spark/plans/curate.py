@@ -17,7 +17,8 @@ so Spark broadcasts them and the corpus itself never shuffles. At
 aggregation's groupBy(component), which is min()-reducible map-side.
 
 Policy notes (documented, deliberate):
-- Rule order is fixed: lang -> length -> quality -> duplicate. The
+- Rule order is fixed: lang -> length -> quality -> [repetition] ->
+  [contaminated] -> duplicate (bracketed rules only when enabled). The
   first failing rule names the drop; later rules still have their
   columns populated (nothing is short-circuited — it is one plan).
 - The canonical keeper is the best-QUALITY member of a component
@@ -57,17 +58,49 @@ def curate_corpus(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     min_quality: float = 0.5,
+    max_dup_token_frac: float | None = None,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 5,
+    decontam_min_shared: int = 2,
 ) -> DataFrame:
     """docs + (lang_pred, n_tokens, quality, component, keeper_id,
     is_duplicate, drop_reason, keep). `pairs` is an (id_a, id_b)
     near-dup pair frame from any operators/dedup.py generator; pass
-    None to skip dedup (every doc is its own singleton keeper)."""
+    None to skip dedup (every doc is its own singleton keeper).
+
+    Optional rules (None/off by default, slotting into the fixed order
+    lang -> length -> quality -> repetition -> contaminated ->
+    duplicate):
+    - max_dup_token_frac: Gopher-style repetition gate on
+      dup_token_frac_expr (adds a `dup_token_frac` column).
+    - eval_docs: benchmark-decontamination gate — any doc sharing >=
+      decontam_min_shared word decontam_n-grams with the eval set is
+      dropped as 'contaminated' (adds `n_shared_eval`/`contaminated`;
+      broadcast semi-join, see operators/decontam.py)."""
     text = F.col(text_col)
     out = (
         docs.withColumn("lang_pred", langid_expr(text))
         .withColumn("n_tokens", token_count_expr(text))
         .withColumn("quality", quality_score_expr(text))
     )
+    if max_dup_token_frac is not None:
+        from urlmap_spark.functions.textstats import dup_token_frac_expr
+
+        out = out.withColumn("dup_token_frac", dup_token_frac_expr(text))
+    if eval_docs is not None:
+        from urlmap_spark.operators.decontam import contamination
+
+        verdict = contamination(
+            docs, eval_docs, n=decontam_n, min_shared=decontam_min_shared,
+            id_col=id_col, text_col=text_col,
+        ).select(
+            F.col(id_col),
+            F.col("n_shared").alias("n_shared_eval"),
+            "contaminated",
+        )
+        # one row per doc -> broadcast when small; at corpus scale this
+        # is a co-keyed join Spark plans as a shuffle on id only
+        out = out.join(verdict, id_col)
     if pairs is not None:
         out = canonical_docs(out, pairs, id_col=id_col, quality_col="quality")
     else:
@@ -85,8 +118,15 @@ def curate_corpus(
             F.lit("length"),
         )
         .when(F.col("quality") < F.lit(min_quality), F.lit("quality"))
-        .when(F.col("is_duplicate"), F.lit("duplicate"))
     )
+    if max_dup_token_frac is not None:
+        reason = reason.when(
+            F.col("dup_token_frac") > F.lit(max_dup_token_frac),
+            F.lit("repetition"),
+        )
+    if eval_docs is not None:
+        reason = reason.when(F.col("contaminated"), F.lit("contaminated"))
+    reason = reason.when(F.col("is_duplicate"), F.lit("duplicate"))
     return out.withColumn("drop_reason", reason).withColumn(
         "keep", reason.isNull()
     )
