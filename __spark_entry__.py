@@ -1099,6 +1099,31 @@ def _q_decontam_ngram(spark, sf_dir):
     return contamination(docs, eval_docs, n=5, min_shared=2)
 
 
+def _q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup over documents with
+    deterministically injected boilerplate lines (cookie banner /
+    newsletter / copyright / back-to-top, keyed by doc_id % 4 — so the
+    corpus actually contains cross-doc duplicate lines); DuckDB
+    recomputes the global first-occurrence rule and the rewritten text
+    exactly. Runs the default xxhash64 keying (the scale path)."""
+    from urlmap_spark.operators.linededup import remove_duplicate_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    boiler = F.element_at(
+        F.array(F.lit("accept all cookies to continue"),
+                F.lit("subscribe to our newsletter"),
+                F.lit("copyright example site"),
+                F.lit("back to top")),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    injected = docs.select(
+        "doc_id",
+        F.concat_ws("\n",
+                    F.substring("text", 1, 80),
+                    boiler,
+                    F.substring("text", 81, 80)).alias("text"))
+    return remove_duplicate_lines(injected)
+
+
 def _q_image_phash_arith(spark, sf_dir):
     """Value check of the REAL image codec + phash pipeline (the
     verify_payload per-row invariant mechanism): closed-form ramp
@@ -1286,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition-stats": _q_repetition_stats,
         "pii-scrub": _q_pii_scrub,
         "decontam-ngram": _q_decontam_ngram,
+        "line-dedup": _q_line_dedup,
         "doc-winnow-arith": _q_doc_winnow_arith,
         "doc-winnow-pairs": _q_doc_winnow_pairs,
         "image-decode-meta": _q_image_decode_meta,
@@ -2484,6 +2510,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(s.ns, 0) AS int) AS n_shared,
                    coalesce(s.ns, 0) >= 2 AS contaminated
             FROM tok t LEFT JOIN shared s ON t.doc_id = s.doc_id
+        """,
+        "line-dedup": """
+            WITH injected AS (
+              SELECT doc_id,
+                     substring(text, 1, 80) || chr(10)
+                     || (['accept all cookies to continue',
+                          'subscribe to our newsletter',
+                          'copyright example site',
+                          'back to top'])[CAST(doc_id % 4 AS int) + 1]
+                     || chr(10) || substring(text, 81, 80) AS text
+              FROM documents WHERE doc_id < 300),
+            lines AS (
+              SELECT doc_id, ln, unnest(range(1, len(ln) + 1)) AS i
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+                    FROM injected)),
+            ranked AS (
+              SELECT doc_id, i - 1 AS pos, ln[i] AS line,
+                     row_number() OVER (PARTITION BY ln[i]
+                                        ORDER BY doc_id, i) AS rn
+              FROM lines)
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE rn = 1), '') AS text,
+                   CAST(count(*) AS int) AS n_lines,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS int) AS n_removed
+            FROM ranked GROUP BY doc_id
         """,
         # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
         # embed-ann-lsh, embed-ann-ivf, image-decode-meta — each has a
