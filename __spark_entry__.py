@@ -840,6 +840,27 @@ def _q_embed_neardup_blocked(spark, sf_dir):
         sign_block(emb, dims=[0, 1, 2]), threshold=0.15, block_col="blk")
 
 
+def _q_embed_dedup_canonical(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): sign-blocked
+    cosine near-dup pairs -> connected components -> one kept
+    representative per semantic group (min vec_id — embeddings carry no
+    quality column, exercising canonical_docs' min-id keeper branch,
+    which no other oracle covers). DuckDB recomputes blocks, pairs,
+    groups (recursive reach CTE) and keepers exactly."""
+    _ship_package(spark)
+    from urlmap_spark.operators.components import canonical_docs
+    from urlmap_spark.operators.dedup import embedding_neardup_pairs
+    from urlmap_spark.operators.similarity import sign_block
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = embedding_neardup_pairs(
+        sign_block(emb, dims=[0, 1, 2]), threshold=0.15, block_col="blk"
+    ).select("id_a", "id_b")
+    return canonical_docs(
+        emb.select("vec_id"), pairs, id_col="vec_id",
+    ).select("vec_id", "component", "keeper_id", "is_duplicate")
+
+
 def _q_dedup_minhash_lsh(spark, sf_dir):
     _ship_package(spark)
     from urlmap_spark.operators.dedup import minhash_lsh_pairs
@@ -1293,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus-sample-arith": _q_corpus_sample_arith,
         "image-dedup-canonical": _q_image_dedup_canonical,
         "embed-neardup-blocked": _q_embed_neardup_blocked,
+        "embed-dedup-canonical": _q_embed_dedup_canonical,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
         "dedup-minhash-arith": _q_dedup_minhash_arith,
@@ -2293,6 +2315,37 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.blk = b.blk
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.15
+        """,
+        "embed-dedup-canonical": """
+            -- SemDeDup verdict: sign-blocked cosine pairs -> reach
+            -- components -> keeper = min vec_id per group
+            WITH RECURSIVE e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS blk
+              FROM embeddings WHERE vec_id < 500),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.blk = b.blk
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.15),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION
+              SELECT id_b, id_a FROM p),
+            reach(n, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT g.a, reach.r FROM edges g JOIN reach ON g.b = reach.n),
+            comp AS (SELECT n AS vec_id, min(r) AS component FROM reach GROUP BY n),
+            lab AS (
+              SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component
+              FROM e LEFT JOIN comp c USING (vec_id)),
+            keep AS (
+              SELECT component, min(vec_id) AS keeper_id FROM lab GROUP BY component)
+            SELECT l.vec_id, l.component, k.keeper_id,
+                   l.vec_id <> k.keeper_id AS is_duplicate
+            FROM lab l JOIN keep k USING (component)
         """,
         "embed-cosine-topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

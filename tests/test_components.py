@@ -176,3 +176,39 @@ def test_end_to_end_with_ngram_pairs(spark):
         0: (0, False), 1: (0, True), 2: (0, True),
         3: (3, False), 4: (4, False),
     }
+
+
+def test_semdedup_embedding_composition(spark):
+    """SemDeDup composition (embed-dedup-canonical): sign-blocked cosine
+    pairs -> components -> min-id keeper. Planted: vectors 0/1/2 nearly
+    parallel (one semantic group, keeper 0), 3 the negation of 0 (other
+    orthant -> different block, never paired), 4 orthogonal singleton."""
+    from urlmap_spark.operators.dedup import embedding_neardup_pairs
+    from urlmap_spark.operators.similarity import sign_block
+
+    rows = [
+        (0, [1.0, 0.5, 0.2]),
+        (1, [0.99, 0.52, 0.21]),
+        (2, [1.01, 0.49, 0.19]),
+        (3, [-1.0, -0.5, -0.2]),
+        (4, [0.1, -0.9, 0.3]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(
+        sign_block(emb, dims=[0, 1, 2]), threshold=0.95, block_col="blk"
+    ).select("id_a", "id_b")
+    out = canonical_docs(emb.select("vec_id"), pairs, id_col="vec_id")
+    got = {r["vec_id"]: (r["component"], r["keeper_id"], r["is_duplicate"])
+           for r in out.collect()}
+    assert got == {
+        0: (0, 0, False), 1: (0, 0, True), 2: (0, 0, True),
+        3: (3, 3, False), 4: (4, 4, False),
+    }
+    # partitioning invariance of the full composition
+    out2 = canonical_docs(
+        emb.repartition(7).select("vec_id"),
+        embedding_neardup_pairs(
+            sign_block(emb.repartition(3), dims=[0, 1, 2]),
+            threshold=0.95, block_col="blk").select("id_a", "id_b"),
+        id_col="vec_id")
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out.collect()}
