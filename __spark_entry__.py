@@ -828,6 +828,26 @@ def _q_corpus_sample_arith(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_quality_classifier_arith(spark, sf_dir):
+    """The model-based quality filter (operators/classify.py — the
+    GPT-3/CCNet hashed-feature linear classifier) under the
+    SQL-recomputable arith_mix hash and the dyadic verification
+    weights: every weight is k/1024, so the double-precision margin is
+    EXACT and DuckDB matches bit-for-bit — no rounding tolerance
+    anywhere. label = sign of the margin (threshold 0.5 on the
+    sigmoid)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.classify import classifier_score
+    from urlmap_spark.operators.packing import arith_mix_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier_score(
+        docs.select("doc_id", "text"), dim=4096, hash_expr=arith_mix_expr,
+    ).select(
+        "doc_id", "clf_margin",
+        (F.col("clf_margin") >= 0).alias("clf_label"))
+
+
 def _q_embed_neardup_blocked(spark, sf_dir):
     """Blocked near-dup: deterministic axis-sign LSH block restricts the
     pair join (the scale path); DuckDB reproduces the same blocks."""
@@ -1315,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image-dedup-canonical": _q_image_dedup_canonical,
         "embed-neardup-blocked": _q_embed_neardup_blocked,
         "embed-dedup-canonical": _q_embed_dedup_canonical,
+        "quality-classifier-arith": _q_quality_classifier_arith,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
         "dedup-minhash-arith": _q_dedup_minhash_arith,
@@ -1951,6 +1972,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, cum_before,
                    CAST(floor(cum_before / 2000.0) AS bigint) AS shard
             FROM c
+        """,
+        "quality-classifier-arith": """
+            -- hashed-feature linear classifier, arith_mix + dyadic
+            -- weights: idx = mix(token) % 4096, w = ((idx*48271+101)
+            -- % 2049 - 1024)/1024; margin = exact dyadic sum
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(l, t ->
+                       ((((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list_transform(string_split(t, ''),
+                                            c -> CAST(ascii(c) AS BIGINT))),
+                             (a, x) -> (a * 31 + x) % 2147483647)
+                           * 48271 + 11) % 2147483647)
+                          % 4096)
+                         * 48271 + 101) % 2049 - 1024) / 1024.0))), 0.0)
+                       AS clf_margin
+              FROM toks)
+            SELECT doc_id, clf_margin, clf_margin >= 0 AS clf_label FROM m
         """,
         "corpus-sample-arith": """
             -- deterministic stratified sampling, arith_mix family:

@@ -17,8 +17,9 @@ so Spark broadcasts them and the corpus itself never shuffles. At
 aggregation's groupBy(component), which is min()-reducible map-side.
 
 Policy notes (documented, deliberate):
-- Rule order is fixed: lang -> length -> quality -> [repetition] ->
-  [contaminated] -> duplicate (bracketed rules only when enabled). The
+- Rule order is fixed: lang -> length -> quality -> [classifier] ->
+  [repetition] -> [contaminated] -> duplicate (bracketed rules only
+  when enabled). The
   first failing rule names the drop; later rules still have their
   columns populated (nothing is short-circuited — it is one plan).
 - The canonical keeper is the best-QUALITY member of a component
@@ -58,6 +59,10 @@ def curate_corpus(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     min_quality: float = 0.5,
+    min_clf_score: float | None = None,
+    clf_weights: Sequence[float] | None = None,
+    clf_dim: int = 1 << 16,
+    clf_bias: float = 0.0,
     max_dup_token_frac: float | None = None,
     eval_docs: DataFrame | None = None,
     decontam_n: int = 5,
@@ -71,6 +76,10 @@ def curate_corpus(
     Optional rules (None/off by default, slotting into the fixed order
     lang -> length -> quality -> repetition -> contaminated ->
     duplicate):
+    - min_clf_score: model-based quality gate (operators/classify.py,
+      the GPT-3/CCNet linear classifier) on the hashed-feature sigmoid
+      score — adds `clf_margin`/`clf_score` columns; `clf_weights` is
+      the trained vector (None -> the dyadic verification weights).
     - max_dup_token_frac: Gopher-style repetition gate on
       dup_token_frac_expr (adds a `dup_token_frac` column).
     - eval_docs: benchmark-decontamination gate — any doc sharing >=
@@ -83,6 +92,13 @@ def curate_corpus(
         .withColumn("n_tokens", token_count_expr(text))
         .withColumn("quality", quality_score_expr(text))
     )
+    if min_clf_score is not None:
+        from urlmap_spark.operators.classify import classifier_score
+
+        out = classifier_score(
+            out, dim=clf_dim, weights=clf_weights, text_col=text_col,
+            bias=clf_bias,
+        )
     if max_dup_token_frac is not None:
         from urlmap_spark.functions.textstats import dup_token_frac_expr
 
@@ -119,6 +135,10 @@ def curate_corpus(
         )
         .when(F.col("quality") < F.lit(min_quality), F.lit("quality"))
     )
+    if min_clf_score is not None:
+        reason = reason.when(
+            F.col("clf_score") < F.lit(min_clf_score), F.lit("classifier")
+        )
     if max_dup_token_frac is not None:
         reason = reason.when(
             F.col("dup_token_frac") > F.lit(max_dup_token_frac),
