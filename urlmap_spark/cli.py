@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from . import __version__
@@ -41,8 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the frontier/extraction partition fan-out; 0 = "
                         "spark default parallelism")
     p.add_argument("--progress", action="store_true",
-                   help="per-round progress lines without full --verbose "
-                        "(reference -p, progress.go)")
+                   help="per-round progress lines plus the live status "
+                        "ticker + final stats block (reference -p, "
+                        "progress.go:272-331); ticker interval via "
+                        "URLMAP_PROGRESS_INTERVAL (default 1s)")
     p.add_argument("--rate-limit", type=int, default=0,
                    help="global per-round fetch cap (0 = unlimited)")
     p.add_argument("--retry-attempts", type=int, default=1,
@@ -187,7 +190,22 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                          .unionByName(manual)
         render_modes_df = modes
 
+    # live status ticker (reference progress.go:272-298): a daemon
+    # thread repaints a \r line between per-round prints; text mode
+    # only (json mode's round events ARE the machine-readable ticker)
+    reporter = None
+    if args.progress and args.log_format == "text":
+        from .progress import LiveProgressReporter
+
+        reporter = LiveProgressReporter(
+            spark,
+            update_interval=float(os.environ.get(
+                "URLMAP_PROGRESS_INTERVAL", "1.0")))
+        reporter.start()
+
     def _progress(m: dict) -> None:
+        if reporter is not None:
+            reporter.on_round(m)
         if args.log_format == "json":
             print(json.dumps({"event": "round", **m}), file=sys.stderr)
         else:
@@ -229,10 +247,18 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     except ValueError as e:
         # invalid seed etc.: a clean diagnostic + nonzero exit, like the
         # reference binary's cobra error path — never a traceback
+        if reporter is not None:
+            reporter.cancel()
         print(f"error: {e}", file=sys.stderr)
         if _spark is None:
             spark.stop()
         return 2
+    if reporter is not None:
+        # swap the in-flight estimates for the folded per-round truth,
+        # then print the reference's final stats block (progress.go:
+        # 301-331) — before the JSON summary so that stays the last line
+        reporter.finalize(run.metrics)
+        reporter.stop()
     urls = unique_sorted_urls(run.results)
 
     if args.output:
