@@ -281,3 +281,62 @@ def test_cli_priority_queue(spark, tmp_path, capsys):
                    "--priority", "depth"], _spark=spark)
     assert rc == 2  # priority without a budget -> clean error path
     assert "priority" in capsys.readouterr().err
+
+
+def test_cli_structured_start_event_and_start_url(spark, tmp_path, capsys):
+    """json mode opens with a LogCrawlStart analog and the summary
+    carries start_url like LogCrawlComplete (config/logging.go:42-49,
+    70-76)."""
+    corpus_p = str(tmp_path / "se.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p,
+        "--no-path-prefix", "--output", str(tmp_path / "seout"),
+        "--log-format", "json", "--user-agent", "ua-x", "--depth", "3",
+    ], _spark=spark)
+    assert rc == 0
+    events = [json.loads(l) for l in capsys.readouterr().err.splitlines() if l.strip()]
+    assert events[0]["event"] == "start"
+    assert events[0]["url"] == "https://h.test/"
+    assert events[0]["max_depth"] == 3
+    assert events[0]["user_agent"] == "ua-x"
+    assert events[-1]["event"] == "summary"
+    assert events[-1]["start_url"] == "https://h.test/"
+
+
+def test_cli_structured_error_event(spark, tmp_path, capsys):
+    """json mode reports failures as a structured error event
+    (LogCrawlError / slog.Error, config/logging.go:61-67)."""
+    corpus_p = str(tmp_path / "ee.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main(["notaurl", "--corpus", corpus_p, "--log-format", "json"],
+                  _spark=spark)
+    assert rc == 2
+    err = capsys.readouterr().err
+    events = [json.loads(l) for l in err.splitlines() if l.strip()]
+    assert events[-1]["event"] == "error"
+    assert "notaurl" in events[-1]["error"]
+    assert "Traceback" not in err
+
+
+def test_cli_verbose_text_start_line(spark, tmp_path, capsys):
+    """--verbose (INFO level, reference default is WARN) prints the
+    slog-style start line in text mode (config/logging.go:15-19,
+    42-49)."""
+    corpus_p = str(tmp_path / "vs.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p,
+        "--no-path-prefix", "--output", str(tmp_path / "vsout"),
+        "--verbose",
+    ], _spark=spark)
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Starting crawl url=https://h.test/ max_depth=" in err
+    # default (non-verbose) text mode stays WARN-quiet: no start line
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p,
+        "--no-path-prefix", "--output", str(tmp_path / "vsout2"),
+    ], _spark=spark)
+    assert rc == 0
+    assert "Starting crawl" not in capsys.readouterr().err

@@ -241,15 +241,36 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         progress=_progress if (args.progress or args.verbose
                                or args.log_format == "json") else None,
     )
+    # structured crawl-start event (reference LogCrawlStart,
+    # config/logging.go:42-49): always in json mode; at INFO (= only
+    # under --verbose) in text mode, slog-style key=value
+    start_fields = {
+        "url": seeds[0] if len(seeds) == 1 else seeds,
+        "max_depth": args.depth,
+        "concurrent": args.concurrent or 0,
+        "user_agent": args.user_agent,
+    }
+    if args.log_format == "json":
+        print(json.dumps({"event": "start", **start_fields}), file=sys.stderr)
+    elif args.verbose:
+        print("Starting crawl "
+              + " ".join(f"{k}={v}" for k, v in start_fields.items()),
+              file=sys.stderr)
     try:
         run = crawl(spark, corpus, seeds if len(seeds) > 1 else seeds[0], cfg,
                     resume=args.resume)
     except ValueError as e:
         # invalid seed etc.: a clean diagnostic + nonzero exit, like the
         # reference binary's cobra error path — never a traceback
+        # (json mode: a structured error event, reference LogCrawlError /
+        # slog.Error, config/logging.go:61-67)
         if reporter is not None:
             reporter.cancel()
-        print(f"error: {e}", file=sys.stderr)
+        if args.log_format == "json":
+            print(json.dumps({"event": "error", "error": str(e)}),
+                  file=sys.stderr)
+        else:
+            print(f"error: {e}", file=sys.stderr)
         if _spark is None:
             spark.stop()
         return 2
@@ -280,6 +301,9 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             print(r["url"])
 
     summary = {
+        # reference LogCrawlComplete carries the start URL next to the
+        # totals (config/logging.go:70-76)
+        "start_url": seeds[0] if len(seeds) == 1 else seeds,
         "rounds": run.rounds,
         "processed": sum(m.get("processed", 0) for m in run.metrics),
         "crawled": sum(m.get("crawled", 0) for m in run.metrics),
