@@ -1005,6 +1005,23 @@ def _q_embed_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb, threshold=0.15)
 
 
+def _q_caption_align(spark, sf_dir):
+    """LAION-style image<->caption alignment gate
+    (similarity.caption_alignment) over a deterministic pairing:
+    image_emb = embedding of vec_id, caption_emb = embedding of
+    vec_id+1 — a full spread of cosines (-0.37..0.47 at sf0.01), so
+    threshold 0.2 keeps a minority exactly like a real CLIP gate."""
+    from urlmap_spark.operators.similarity import caption_alignment
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.col("embedding").alias("image_emb"))
+    b = emb.select((F.col("vec_id") - F.lit(1)).alias("vec_id"),
+                   F.col("embedding").alias("caption_emb"))
+    pairs = a.join(b, "vec_id")
+    return caption_alignment(pairs, threshold=0.2, id_col="vec_id") \
+        .orderBy("vec_id")
+
+
 def _q_text_langid(spark, sf_dir):
     from urlmap_spark.functions.textstats import langid_expr
 
@@ -1347,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed-ann-ivf-int": _q_embed_ann_ivf_int,
         "embed-ann-lsh-int": _q_embed_ann_lsh_int,
         "embed-neardup": _q_embed_neardup,
+        "caption-align-gate": _q_caption_align,
         "text-langid": _q_text_langid,
         "text-quality": _q_text_quality,
         "token-count": _q_token_count,
@@ -2506,6 +2524,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 200 AND b.vec_id < 200
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.15
+        """,
+        "caption-align-gate": """
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS alignment,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2 AS keep
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+            ORDER BY a.vec_id
         """,
         "text-langid": f"""
             SELECT doc_id,

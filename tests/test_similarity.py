@@ -102,3 +102,45 @@ def test_lsh_int_topk_recall_and_determinism(spark, emb):
     assert got1 == got2
     recall = len(set(v for v, _ in got1) & set(exact)) / 10
     assert recall >= 0.4, f"lsh_int recall too low: {recall}"
+
+
+def test_caption_alignment_gate(spark):
+    """LAION-style alignment gate: planted pairs — identical (1.0,
+    keep), orthogonal (0.0, drop), opposite (-1.0, drop), exactly-at-
+    threshold (keep: >= contract). Plan stays native (no Python)."""
+    rows = [
+        ("same", [1.0, 0.0, 2.0], [1.0, 0.0, 2.0]),
+        ("orth", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        ("anti", [1.0, 2.0, 0.0], [-1.0, -2.0, 0.0]),
+        # cos = 0.3 exactly: (1,0)·(0.3, sqrt(1-0.09)) = 0.3
+        ("edge", [1.0, 0.0, 0.0], [0.3, float(np.sqrt(0.91)), 0.0]),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "image_id string, image_emb array<float>, caption_emb array<float>")
+    out = {r["image_id"]: (r["alignment"], r["keep"])
+           for r in S.caption_alignment(pairs, threshold=0.3).collect()}
+    assert out["same"] == (1.0, True)
+    assert out["orth"] == (0.0, False)
+    assert out["anti"] == (-1.0, False)
+    assert out["edge"][0] == pytest.approx(0.3, abs=1e-6)
+    assert out["edge"][1] is True  # >= threshold keeps
+    # keep is an audit flag, not a drop: all rows survive
+    assert len(out) == 4
+    plan = S.caption_alignment(pairs, 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_caption_alignment_partition_invariance(spark, emb):
+    """Same verdicts regardless of partitioning (rounded-score
+    contract), over the clustered fixture paired id<->id+1."""
+    a = emb.select("vec_id", F.col("embedding").alias("image_emb"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                   F.col("embedding").alias("caption_emb"))
+    pairs = a.join(b, "vec_id")
+    g1 = sorted((r["vec_id"], r["alignment"], r["keep"]) for r in
+                S.caption_alignment(pairs, 0.2, id_col="vec_id").collect())
+    g2 = sorted((r["vec_id"], r["alignment"], r["keep"]) for r in
+                S.caption_alignment(pairs.repartition(17), 0.2,
+                                    id_col="vec_id").collect())
+    assert g1 == g2
+    assert any(k for _, _, k in g1) and not all(k for _, _, k in g1)

@@ -254,3 +254,34 @@ def lsh_topk_int(
     cand = qe.withColumn("_bkt", acc) \
              .filter(F.col("_bkt").isin(*probes)).drop("_qv", "_bkt")
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def caption_alignment(
+    pairs: DataFrame, threshold: float = 0.3,
+    id_col: str = "image_id", img_col: str = "image_emb",
+    txt_col: str = "caption_emb",
+) -> DataFrame:
+    """LAION-style image<->caption alignment gate: score each pair by
+    the cosine of its image and caption embeddings and flag keep =
+    score >= threshold (LAION-400M kept CLIP similarity >= 0.3 — the
+    canonical curation step for a crawled image+caption corpus, which
+    is exactly what this engine's tables are).
+
+    (image_id, alignment, keep) — rows are NOT dropped here so the
+    caller can audit the rejected tail; compose ``.filter("keep")`` to
+    gate. Scoring is pure native expressions (zip_with/aggregate dot
+    product, one whole-stage-codegen projection): no shuffle, no
+    Python, evaluates where the rows live — at 10^10 pairs this is a
+    pushdown-friendly single scan. The CLIP encoders that PRODUCE the
+    embeddings are upstream model inference (stubbed per the
+    multimodal rule); the gate over their outputs is the Spark-side
+    deliverable. keep compares the ROUNDED score (same 6-decimal
+    contract as embedding_neardup_pairs) so the verdict is
+    engine-order independent."""
+    score = F.round(
+        cosine_expr(F.col(img_col).cast("array<double>"),
+                    F.col(txt_col).cast("array<double>")), 6)
+    return pairs.select(
+        F.col(id_col),
+        score.alias("alignment"),
+    ).withColumn("keep", F.col("alignment") >= F.lit(float(threshold)))
