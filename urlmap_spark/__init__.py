@@ -14,12 +14,19 @@ A brand-new reimplementation of the capabilities of aoshimash/urlmap
 
 Layout:
     functions/   URL kernel (pandas UDFs + native-expression twins),
-                 text analysis, vector math
-    operators/   extraction, robots, politeness, seen-set, dedup,
-                 similarity, output formatting, stats
+                 text analysis (langid/quality/tokens/fingerprints/PII)
+    operators/   extraction, robots, politeness, seen-set (bloom/cuckoo/
+                 disk), dedup (exact/ngram/minhash/simhash/embedding/
+                 winnow), connected components, similarity + alignment,
+                 multimodal (image/audio/video), decontam, line dedup,
+                 quality classifier, sampling/packing, output, stats
     sources/     deterministic corpus/site-graph generator, catalog shim
-    plans/       one BFS round + the iterative crawl driver
-    streaming/   (reserved) continuous-frontier variant
+    plans/       one BFS round + the iterative crawl driver, curation,
+                 checkpoint maintenance
+    streaming/   continuous ingest (foreachBatch seen table) + stateful
+                 per-host politeness, windowed stream metrics
+    progress.py  live status ticker (reference progress.go analog)
+    cli.py       spark-submit entry point
 """
 
 __version__ = "0.2.0"
