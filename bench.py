@@ -272,7 +272,7 @@ def run_headline(spark) -> dict[str, float]:
         "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-capped",
         "embed-cosine-topk", "embed-ann-lsh", "text-langid", "text-quality",
         "token-count", "image-decode-meta", "image-phash-neardup",
-        "stream-window-metrics",
+        "stream-window-metrics", "caption-align-gate",
     ]
     qs = E.queries()
     out = {}
