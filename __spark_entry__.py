@@ -848,6 +848,30 @@ def _q_quality_classifier_arith(spark, sf_dir):
         (F.col("clf_margin") >= 0).alias("clf_label"))
 
 
+def _q_quality_classifier_table(spark, sf_dir):
+    """Production-weights path of the same classifier
+    (classify.classifier_score_table): the weight vector rides in as a
+    broadcast (slot, weight) TABLE instead of a plan literal — the
+    scale form for dims beyond the array-literal bound. Dyadic weights
+    + arith_mix hash make the shuffled per-doc sum exact and
+    order-independent, so DuckDB (recomputing the weights table with a
+    range() CTE and the same join) matches bit-for-bit."""
+    _ship_package(spark)
+    from urlmap_spark.operators.classify import (
+        classifier_score_table,
+        dyadic_weights_df,
+    )
+    from urlmap_spark.operators.packing import arith_mix_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier_score_table(
+        docs.select("doc_id", "text"), dyadic_weights_df(spark, 4096),
+        dim=4096, hash_expr=arith_mix_expr,
+    ).select(
+        "doc_id", "clf_margin",
+        (F.col("clf_margin") >= 0).alias("clf_label"))
+
+
 def _q_embed_neardup_blocked(spark, sf_dir):
     """Blocked near-dup: deterministic axis-sign LSH block restricts the
     pair join (the scale path); DuckDB reproduces the same blocks."""
@@ -1353,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed-neardup-blocked": _q_embed_neardup_blocked,
         "embed-dedup-canonical": _q_embed_dedup_canonical,
         "quality-classifier-arith": _q_quality_classifier_arith,
+        "quality-classifier-table": _q_quality_classifier_table,
         "dedup-minhash-lsh": _q_dedup_minhash_lsh,
         "dedup-simhash": _q_dedup_simhash,
         "dedup-minhash-arith": _q_dedup_minhash_arith,
@@ -2012,6 +2037,35 @@ def oracle_sql() -> dict[str, str]:
                        AS clf_margin
               FROM toks)
             SELECT doc_id, clf_margin, clf_margin >= 0 AS clf_label FROM m
+        """,
+        "quality-classifier-table": """
+            -- table-weights twin of quality-classifier-arith: the same
+            -- dyadic weights regenerated as a (slot, weight) relation
+            -- and JOINED per token occurrence, per-doc sum exact
+            WITH w AS (
+              SELECT CAST(i AS BIGINT) AS slot,
+                     ((i * 48271 + 101) % 2049 - 1024) / 1024.0 AS weight
+              FROM range(4096) t(i)),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents),
+            feats AS (
+              SELECT doc_id,
+                     ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(tok, ''),
+                                        c -> CAST(ascii(c) AS BIGINT))),
+                         (a, x) -> (a * 31 + x) % 2147483647)
+                       * 48271 + 11) % 2147483647) % 4096 AS slot
+              FROM toks),
+            m AS (
+              SELECT doc_id, sum(weight) AS clf_margin
+              FROM feats JOIN w USING (slot) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(m.clf_margin, 0.0) AS clf_margin,
+                   coalesce(m.clf_margin, 0.0) >= 0 AS clf_label
+            FROM documents d LEFT JOIN m USING (doc_id)
         """,
         "corpus-sample-arith": """
             -- deterministic stratified sampling, arith_mix family:

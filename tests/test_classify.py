@@ -106,3 +106,55 @@ def test_curate_classifier_rule_order(spark):
 
     off = curate_corpus(docs, pairs=None, allowed_langs=("en",))
     assert "clf_score" not in off.columns
+
+
+def test_table_path_matches_literal_path_exactly(spark):
+    """classifier_score_table with dyadic_weights_df must equal
+    classifier_score's aggregate-literal margins bit-for-bit — same
+    hash, same weights, different physical plan."""
+    from urlmap_spark.operators.classify import (
+        classifier_score_table,
+        dyadic_weights_df,
+    )
+    from urlmap_spark.operators.packing import arith_mix_expr
+
+    rows = [(i, f"word{i % 13} and some shared tokens {i % 7}") for i in range(200)]
+    rows += [(200, None), (201, ""), (202, "   ")]
+    df = _docs(spark, rows)
+    lit = {r["doc_id"]: r["clf_margin"]
+           for r in classifier_score(
+               df, dim=4096, hash_expr=arith_mix_expr, bias=0.25).collect()}
+    tab = {r["doc_id"]: r["clf_margin"]
+           for r in classifier_score_table(
+               df, dyadic_weights_df(spark, 4096), dim=4096,
+               hash_expr=arith_mix_expr, bias=0.25).collect()}
+    assert lit == tab  # exact equality: dyadic sums are order-independent
+
+
+def test_table_path_sparse_weights_score_zero(spark):
+    """Slots absent from the weights table contribute 0 — a sparse
+    trained vector stores only non-zero entries."""
+    from urlmap_spark.operators.classify import classifier_score_table
+
+    w = spark.createDataFrame([(1, 10.0), (3, 0.5)], "slot int, weight double")
+    df = _docs(spark, [(0, "a bb ccc dddd")])  # slots 1,2,3,4 via length
+    got = classifier_score_table(
+        df, w, dim=32, hash_expr=F.length).collect()[0]
+    assert got["clf_margin"] == 10.0 + 0.5  # slots 2,4 missing -> 0
+
+
+def test_table_path_plan_shape(spark):
+    """The weight lookup must be a broadcast hash join and the whole
+    plan Python-free — the classifier adds no corpus-side exchange
+    beyond the (id, slot) feature stream."""
+    from urlmap_spark.operators.classify import (
+        classifier_score_table,
+        dyadic_weights_df,
+    )
+
+    df = _docs(spark, [(i, "alpha beta") for i in range(50)])
+    out = classifier_score_table(df, dyadic_weights_df(spark, 256), dim=256)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -42,8 +42,10 @@ from urlmap_spark.functions.textstats import tokens_expr
 __all__ = [
     "feature_index_expr",
     "dyadic_weight_expr",
+    "dyadic_weights_df",
     "hashed_margin_expr",
     "classifier_score",
+    "classifier_score_table",
 ]
 
 
@@ -105,6 +107,78 @@ def hashed_margin_expr(
 
     return F.aggregate(
         toks, F.lit(float(bias)), lambda acc, t: acc + w_of(t)
+    )
+
+
+def dyadic_weights_df(spark, dim: int) -> DataFrame:
+    """The dyadic pseudo-weight vector as a (slot int, weight double)
+    DataFrame — the verification twin of a production weights TABLE
+    (a trained vector stored in parquet/Iceberg keyed by feature slot).
+    Same formula as dyadic_weight_expr, so the table path and the
+    literal path produce bit-identical margins."""
+    return spark.range(dim).select(
+        F.col("id").cast("int").alias("slot"),
+        dyadic_weight_expr(F.col("id")).alias("weight"),
+    )
+
+
+def classifier_score_table(
+    df: DataFrame,
+    weights: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    hash_expr=None,
+    margin_col: str = "clf_margin",
+    score_col: str = "clf_score",
+) -> DataFrame:
+    """Production-weights path: the same hashed-feature margin with the
+    weight vector as a (slot int, weight double) DataFrame instead of a
+    plan literal. This is the scale form for dims beyond the array-
+    literal bound (classifier_score's documented tens-of-thousands
+    limit): a 10^6- or 10^8-dim trained vector lives in a table, not in
+    the query plan.
+
+    Scale shape: tokens explode to (id, slot) rows — 16 bytes each, the
+    narrowest possible feature stream — then ONE BroadcastExchange
+    ships the weight table to every executor (a 10^6-dim double vector
+    is 12 MiB, far under the broadcast threshold), the feature-weight
+    lookup is a broadcast hash join probe, and the per-doc sum is a
+    map-side-combinable groupBy. The corpus itself never carries its
+    text through a shuffle: only (id, slot) rows and (id, margin) rows
+    move. Missing slots (weight rows absent from the table) score 0,
+    so a sparse trained vector can store only its non-zero entries.
+
+    Verification: with hash_expr=arith_mix_expr and
+    weights=dyadic_weights_df the margins are exact dyadic sums —
+    order-independent, so the shuffled groupBy matches the ANSI-SQL
+    oracle bit-for-bit (quality-classifier-table), and matches
+    classifier_score's aggregate-literal margins exactly
+    (pytest-pinned)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            tokens_expr(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("_tok"),
+    )
+    feats = toks.select(
+        F.col(id_col),
+        feature_index_expr(F.col("_tok"), dim, hash_expr)
+        .cast("int")
+        .alias("_slot"),
+    )
+    looked = feats.join(
+        F.broadcast(weights), feats["_slot"] == weights["slot"], "left"
+    ).select(F.col(id_col), F.coalesce(F.col("weight"), F.lit(0.0)).alias("_w"))
+    margins = looked.groupBy(id_col).agg(
+        (F.sum("_w") + F.lit(float(bias))).alias(margin_col)
+    )
+    out = df.join(margins, id_col, "left").withColumn(
+        margin_col, F.coalesce(F.col(margin_col), F.lit(float(bias)))
+    )
+    return out.withColumn(
+        score_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(margin_col)))
     )
 
 
