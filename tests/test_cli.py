@@ -181,8 +181,13 @@ def test_cli_concurrent_and_progress_flags(spark, tmp_path, capsys):
         "--concurrent", "4", "--progress",
     ], _spark=spark)
     assert rc == 0
-    err = capsys.readouterr().err.splitlines()
-    assert any(l.startswith("round ") for l in err)
+    raw = capsys.readouterr().err
+    # with the live ticker active each round line leads with \r\x1b[K to
+    # clear the half-painted status line (ADVICE r3); \r splits lines in
+    # splitlines(), so match on the raw stream
+    assert "\x1b[Kround " in raw
+    err = raw.splitlines()
+    assert any(l.replace("\x1b[K", "").startswith("round ") for l in err)
     summary = json.loads(err[-1])
     assert summary["processed"] == 7
 
@@ -340,3 +345,43 @@ def test_cli_verbose_text_start_line(spark, tmp_path, capsys):
     ], _spark=spark)
     assert rc == 0
     assert "Starting crawl" not in capsys.readouterr().err
+
+
+def test_seed_from_sitemaps(spark, tmp_path, capsys):
+    """--seed-from-sitemaps: a sitemap-listed URL is crawled at depth 0
+    (VERDICT r3 #6 — the reference parses Sitemap: lines but never
+    consumes them; this folds them into the round-0 seeds)."""
+    corpus_p = str(tmp_path / "corpus.parquet")
+    robots_p = str(tmp_path / "robots.parquet")
+    out_p = str(tmp_path / "out")
+    rows = [("https://h.test/", 'href="/p0"', 200),
+            ("https://h.test/p0", "", 200),
+            ("https://h.test/sitemap.xml", 'href="/s1"', 200),
+            ("https://h.test/s1", "", 200)]
+    spark.createDataFrame(rows, "url string, caption string, status int") \
+        .write.parquet(corpus_p)
+    spark.createDataFrame(ROBOTS, "host string, lineno int, line string") \
+        .write.parquet(robots_p)
+
+    # depth 0: ONLY seeds are fetched — the sitemap URL appearing in the
+    # output proves it entered the frontier at depth 0
+    rc = cli.main([
+        "https://h.test/", "--corpus", corpus_p,
+        "--respect-robots", "--robots-lines", robots_p,
+        "--seed-from-sitemaps", "--depth", "0", "--no-path-prefix",
+        "--output", out_p,
+    ], _spark=spark)
+    assert rc == 0
+    import glob
+
+    txt = open(glob.glob(out_p + "/part-*")[0]).read().splitlines()
+    assert txt == ["https://h.test/", "https://h.test/sitemap.xml"]
+
+
+def test_seed_from_sitemaps_requires_robots(spark, capsys, tmp_path):
+    corpus_p = str(tmp_path / "corpus.parquet")
+    _corpus(spark).write.parquet(corpus_p)
+    rc = cli.main(["https://h.test/", "--corpus", corpus_p,
+                   "--seed-from-sitemaps"], _spark=spark)
+    assert rc == 2
+    assert "--seed-from-sitemaps requires" in capsys.readouterr().err

@@ -116,3 +116,24 @@ def test_write_json_duplicate_min_url(spark, tmp_path):
     doc = json.loads(text)
     assert [u["url"] for u in doc["urls"]] == ["https://h.test/a", "https://h.test/b"]
     assert doc["total"] == 2
+
+
+def test_xml_document_bounded(spark):
+    """xml_document must refuse to materialize an unbounded document on
+    the driver (VERDICT r3): past max_rows it raises and points at the
+    streaming/write paths instead of silently collecting."""
+    from pyspark.sql import functions as F
+    import pytest
+
+    big = spark.range(1_000_000).select(
+        F.concat(F.lit("https://h.test/p"), F.col("id")).alias("url"))
+    with pytest.raises(ValueError, match="max_rows"):
+        O.xml_document(big)
+    # at or under the cap the full document still renders
+    small = spark.range(5).select(
+        F.concat(F.lit("https://h.test/p"), F.col("id")).alias("url"))
+    doc = O.xml_document(small, max_rows=5)
+    assert doc.startswith('<?xml') and doc.endswith("</crawloutput>")
+    assert doc.count("<loc>") == 5
+    with pytest.raises(ValueError, match="max_rows"):
+        O.xml_document(small, max_rows=4)

@@ -144,3 +144,30 @@ def test_caption_alignment_partition_invariance(spark, emb):
                                     id_col="vec_id").collect())
     assert g1 == g2
     assert any(k for _, _, k in g1) and not all(k for _, _, k in g1)
+
+
+def test_ivf_trained_recall_floor(spark, emb):
+    """Distributed Lloyd training (ivf_train) must lift recall over the
+    driver-sample mini-kmeans seeds — VERDICT r3 #5 raised floor."""
+    q = _query(emb)
+    exact = [r["vec_id"] for r in
+             S.brute_force_topk(emb.filter("vec_id != 0"), q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              S.ivf_topk(emb.filter("vec_id != 0"), q, k=10,
+                         n_centroids=8, nprobe=3, train_iters=5).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"trained IVF recall too low: {recall}"
+
+
+def test_ivf_train_partitioning_invariant_recall(spark, emb):
+    """Training is a dataset property: the same corpus at a different
+    partitioning must still clear the trained-recall floor."""
+    q = _query(emb)
+    rest = emb.filter("vec_id != 0").repartition(17)
+    exact = [r["vec_id"] for r in S.brute_force_topk(rest, q, k=10).collect()]
+    c = S.ivf_train(rest, n_centroids=8, iters=5)
+    assert c.shape == (8, 32)
+    approx = [r["vec_id"] for r in
+              S.ivf_topk(rest, q, k=10, nprobe=3, centroids=c).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"trained IVF recall too low: {recall}"

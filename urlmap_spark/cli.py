@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-path-prefix", action="store_true")
     p.add_argument("--respect-robots", action="store_true")
     p.add_argument("--robots-lines", help="parquet path of (host, lineno, line) robots lines")
+    p.add_argument("--seed-from-sitemaps", action="store_true",
+                   help="fold sitemap URLs discovered in robots.txt "
+                        "(Sitemap: lines, reference robots.go:175-177 — "
+                        "parsed but unconsumed there) into the round-0 "
+                        "seed list, in (host, lineno) order after the CLI "
+                        "seeds; requires --respect-robots --robots-lines")
     p.add_argument("--user-agent", default="urlmap/1.0")
     p.add_argument("--concurrent", "-c", type=int, default=0,
                    help="parallelism hint (reference -c worker count): sets "
@@ -157,7 +163,26 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         # Crawl-delay -> per-host per-round quota (the batch analog of
         # the reference's per-fetch sleep, crawler.go:603-606)
         host_quota = quota_from_delays(delays, args.round_budget)
-        sitemap_count = sitemaps.count()
+        if args.seed_from_sitemaps:
+            # robots Sitemap: lines are O(hosts) — a bounded driver
+            # collect by construction, like the seed list itself
+            sm_rows = sitemaps.orderBy("host", "lineno").collect()
+            sitemap_count = len(sm_rows)
+            from .functions import urlcore
+
+            for r in sm_rows:
+                u = (r["sitemap"] or "").strip()
+                if urlcore.is_valid_url(u):
+                    seeds.append(u)
+                else:
+                    print(f"warning: skipping invalid sitemap URL: {u}",
+                          file=sys.stderr)
+        else:
+            sitemap_count = sitemaps.count()
+    elif args.seed_from_sitemaps:
+        print("error: --seed-from-sitemaps requires --respect-robots "
+              "and --robots-lines", file=sys.stderr)
+        return 2
 
     render_modes_df = None
     js_on = args.js_render or args.js_auto or args.js_auto_strict or args.js_hosts
@@ -212,7 +237,11 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             extras = "".join(
                 f" {k}={m[k]}" for k in ("blocked_robots", "retried", "rendered")
                 if m.get(k))
-            print(f"round {m['round']}: frontier={m['frontier']} "
+            # with the live ticker active, clear its half-painted \r
+            # status line first — otherwise the round line is appended
+            # onto it and the output garbles (ADVICE r3)
+            clear = "\r\x1b[K" if reporter is not None else ""
+            print(f"{clear}round {m['round']}: frontier={m['frontier']} "
                   f"new={m['new_discovered']}{extras} wall={m['wall_s']}s",
                   file=sys.stderr)
 
@@ -259,13 +288,18 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     try:
         run = crawl(spark, corpus, seeds if len(seeds) > 1 else seeds[0], cfg,
                     resume=args.resume)
+        if reporter is not None:
+            # swap the in-flight estimates for the folded per-round
+            # truth, then print the reference's final stats block
+            # (progress.go:301-331) — before the JSON summary so that
+            # stays the last line
+            reporter.finalize(run.metrics)
+            reporter.stop()
     except ValueError as e:
         # invalid seed etc.: a clean diagnostic + nonzero exit, like the
         # reference binary's cobra error path — never a traceback
         # (json mode: a structured error event, reference LogCrawlError /
         # slog.Error, config/logging.go:61-67)
-        if reporter is not None:
-            reporter.cancel()
         if args.log_format == "json":
             print(json.dumps({"event": "error", "error": str(e)}),
                   file=sys.stderr)
@@ -274,12 +308,13 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         if _spark is None:
             spark.stop()
         return 2
-    if reporter is not None:
-        # swap the in-flight estimates for the folded per-round truth,
-        # then print the reference's final stats block (progress.go:
-        # 301-331) — before the JSON summary so that stays the last line
-        reporter.finalize(run.metrics)
-        reporter.stop()
+    finally:
+        # ANY exit — clean, ValueError, or an unexpected Py4J error
+        # propagating — must tear the daemon ticker down, or it keeps
+        # repainting over the traceback (ADVICE r3); cancel() after a
+        # successful stop() is a no-op
+        if reporter is not None:
+            reporter.cancel()
     urls = unique_sorted_urls(run.results)
 
     if args.output:

@@ -80,11 +80,24 @@ def format_xml(urls: DataFrame, ts_col=None) -> DataFrame:
     )
 
 
-def xml_document(urls: DataFrame) -> str:
-    """Small-result convenience: full XML document as one string
-    (driver-side; the scale path is write_output(..., 'xml'))."""
-    body = "\n".join(r["value"] for r in format_xml(urls).collect())
-    return f'<?xml version="1.0" encoding="UTF-8"?>\n<crawloutput>\n{body}\n</crawloutput>'
+def xml_document(urls: DataFrame, max_rows: int = 100_000) -> str:
+    """Small-result convenience: full XML document as one string.
+    Driver-side BY DEFINITION (the return type is a str), so it is
+    bounded: streams at most ``max_rows`` URL rows through
+    toLocalIterator and raises past the cap instead of silently
+    collecting an unbounded document — the scale paths are
+    write_output(..., 'xml') (single-task file write) and xml_lines()
+    (ordered line frame, never driver-side)."""
+    out: list[str] = []
+    # head(2 lines) + up to max_rows body rows + foot(1 line)
+    for i, r in enumerate(xml_lines(urls).toLocalIterator()):
+        if i >= max_rows + 3:
+            raise ValueError(
+                f"xml_document: result exceeds max_rows={max_rows}; use "
+                "write_output(urls, path, 'xml') or xml_lines(urls) for "
+                "large results")
+        out.append(r["value"])
+    return "\n".join(out)
 
 
 def _enveloped_lines(urls: DataFrame, head: list[str], body: DataFrame,

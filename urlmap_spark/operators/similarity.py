@@ -129,6 +129,51 @@ def ivf_centroids(
     return c
 
 
+def ivf_train(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 5, seed: int = 42,
+    vec_col: str = "embedding", tol: float = 1e-4,
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the FULL dataset — the trained
+    upgrade of ivf_centroids' driver-sample mini-kmeans (recall-weaker
+    seeded centroids stay the zero-cost default; pass
+    ``centroids=ivf_train(...)`` or ``train_iters=`` to ivf_topk for
+    the trained ones).
+
+    Superstep shape (same pattern as components.py's alternating
+    rounds): each iteration is ONE job — assign every vector to its
+    nearest centroid with the native argmax projection (no Python, no
+    shuffle), then the component-wise means via posexplode +
+    groupBy(cell, pos).avg. The explode is dim-fold in ROWS but the
+    aggregation is map-side combinable, so each map task emits at most
+    n_centroids*dim partial rows into the exchange regardless of
+    dataset size; driver traffic per iteration is n_centroids*dim
+    doubles. Empty cells keep their previous centroid; stops early
+    when the max centroid shift drops under ``tol``."""
+    c = ivf_centroids(emb, n_centroids, seed, vec_col)
+    dim = c.shape[1]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, c, vec_col)
+        rows = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col).cast("array<double>"))
+                .alias("pos", "x"))
+            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        buf: dict[tuple[int, int], float] = {
+            (int(r["cell"]), int(r["pos"])): float(r["m"]) for r in rows}
+        newc = c.copy()
+        for j in range(len(c)):
+            if (j, 0) in buf:
+                newc[j] = np.array([buf[(j, p)] for p in range(dim)])
+        shift = float(np.abs(newc - c).max())
+        c = newc
+        if shift < tol:
+            break
+    return c
+
+
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                vec_col: str = "embedding", out_col: str = "cell") -> DataFrame:
     """Nearest-centroid id as a narrow int column (argmin over cosine).
@@ -143,9 +188,19 @@ def ivf_topk(
     nprobe: int = 4, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
-    """IVF probe: exact search restricted to the nprobe nearest cells."""
-    c = centroids if centroids is not None else ivf_centroids(emb, n_centroids, seed, vec_col)
+    """IVF probe: exact search restricted to the nprobe nearest cells.
+    train_iters > 0 runs distributed Lloyd refinement (ivf_train) on
+    the seeded centroids first — higher recall for the cost of
+    train_iters assignment jobs."""
+    if centroids is not None:
+        c = centroids
+    elif train_iters > 0:
+        c = ivf_train(emb, n_centroids, iters=train_iters, seed=seed,
+                      vec_col=vec_col)
+    else:
+        c = ivf_centroids(emb, n_centroids, seed, vec_col)
     q = np.asarray(query_vec, dtype=float)
     sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-12)
     probe_cells = [int(i) for i in np.argsort(-sims)[:nprobe]]

@@ -34,7 +34,7 @@ import time
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -298,7 +298,6 @@ def crawl(
 
         metrics: list[dict] = []
         results_parts: list[DataFrame] = []
-        fetch_parts: list[DataFrame] = []  # per-round frames for deferred metrics
 
         if resume and catalog is not None and catalog.last_round() is not None:
             last = catalog.last_round()
@@ -475,16 +474,29 @@ def crawl(
                     priority_col=pcol)
                 if pcol is not None:
                     sched = sched.drop(pcol)
-                deferred = deferred.select(*fcols).localCheckpoint(eager=True)
-                n_deferred = deferred.count()
+                # the deferred count rides the checkpoint job itself (an
+                # Observation fires on eager localCheckpoint) — no
+                # separate count() job per round
+                dobs = Observation()
+                deferred = deferred.select(*fcols).observe(
+                    dobs, F.count(F.lit(1)).alias("n")
+                ).localCheckpoint(eager=True)
+                n_deferred = int(dobs.get["n"] or 0)
             else:
                 sched, deferred = process, None
 
             # --- robots gate (disallowed = skipped, reference: crawler.go:583-600)
             if cfg.robots_rules is not None:
-                gated = robots_gate(sched, cfg.robots_rules).localCheckpoint(eager=True)
+                robs = Observation()
+                gated = robots_gate(sched, cfg.robots_rules).observe(
+                    robs,
+                    F.sum(F.when(~F.col("robots_allowed"), 1).otherwise(0))
+                    .alias("blocked"),
+                ).localCheckpoint(eager=True)
                 allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
-                blocked_robots = gated.filter(~F.col("robots_allowed")).count()
+                # blocked count observed during the checkpoint job — no
+                # separate filter().count() job per round
+                blocked_robots = int(robs.get["blocked"] or 0)
             else:
                 allowed, blocked_robots = sched, 0
 
@@ -526,57 +538,51 @@ def crawl(
                                           F.col("phash")))
                     .otherwise(F.lit(False)),
                 ).drop("bytes", "fmt", "phash")
-            fetched = fetched.localCheckpoint(eager=True)
-            # --- split transient failures from final outcomes: a 5xx row
-            # with attempts left re-enqueues (reference retries in-fetch,
-            # client.go:63-83; a batch round IS the backoff) — it emits NO
-            # result row this round; only its last attempt lands in
-            # results/metrics. 4xx is always final.
-            n_retry = 0
+            # --- fold EVERY per-round scalar (status aggregation + retry
+            # count) into the fetch-checkpoint job itself: an Observation
+            # fires when the eager localCheckpoint materializes, so the
+            # round's metrics cost ZERO extra Spark jobs — the fixed-cost
+            # residue the r3 efficiency sweep attributed small-corpus
+            # scaling loss to. A 5xx row with attempts left re-enqueues
+            # (reference retries in-fetch, client.go:63-83; a batch round
+            # IS the backoff) — it emits NO result row this round, so the
+            # observed status sums count FINAL-outcome rows only.
+            can_retry = (
+                (F.col("status").between(500, 599) & (F.col("attempt") < retry))
+                if has_attempt else F.lit(False)
+            )
+
+            def _fin(c):
+                return F.when(~can_retry, c)  # final-outcome rows only
+
+            fobs = Observation()
+            fetched = fetched.observe(
+                fobs,
+                F.sum(F.when(can_retry, 1).otherwise(0)).alias("n_retry"),
+                F.sum(_fin(F.lit(1))).alias("processed"),
+                F.sum(_fin(F.when(F.col("ok"), 1).otherwise(0))).alias("crawled"),
+                F.sum(_fin(F.when(~F.col("ok"), 1).otherwise(0))).alias("failed"),
+                F.max(_fin(F.col("depth"))).alias("max_depth"),
+                *([F.sum(_fin(F.when(F.col("payload_ok"), 1).otherwise(0)))
+                   .alias("payload_ok")] if cfg.verify_payload else []),
+                *([F.sum(_fin(F.when(F.col("render_mode"), 1).otherwise(0)))
+                   .alias("rendered")] if dispatch else []),
+            ).localCheckpoint(eager=True)
+            om = fobs.get  # complete once the checkpoint job finished
             retry_rows = None
             final = fetched
+            n_retry = int(om["n_retry"] or 0)
             if has_attempt:
-                can_retry = (F.col("status").between(500, 599)
-                             & (F.col("attempt") < retry))
                 retry_rows = fetched.filter(can_retry).select(
                     "url", "depth", "order",
                     (F.col("attempt") + 1).alias("attempt"))
                 final = fetched.filter(~can_retry)
-                n_retry = retry_rows.count()
             if persisted is not None:
                 # every consumer (deferred, gated, fetched) is materialized
                 # by now; without this, cached frontiers accrete in executor
                 # storage for the life of a depth-limited politeness crawl
                 persisted.unpersist()
             tick("fetch_ckpt")
-
-            agg_cols = [
-                F.count("*").alias("processed"),
-                F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("crawled"),
-                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
-                F.max("depth").alias("max_depth"),
-                *([F.sum(F.when(F.col("payload_ok"), 1).otherwise(0)).alias("payload_ok")]
-                  if cfg.verify_payload else []),
-                *([F.sum(F.when(F.col("render_mode"), 1).otherwise(0)).alias("rendered")]
-                  if dispatch else []),
-            ]
-            if catalog is not None:
-                # checkpointed runs persist full metrics per round (the
-                # resume contract), so aggregate eagerly
-                agg = final.agg(*agg_cols).collect()[0]
-            else:
-                # in-memory runs defer the status aggregation: keep a
-                # reference to the (already materialized) round frame and
-                # fold ALL rounds in ONE job after the loop — one fewer
-                # Spark job per round, which is pure fixed cost at scale
-                agg = None
-                fetch_parts.append(
-                    final.select(
-                        "status", "ok", "depth",
-                        *(["payload_ok"] if cfg.verify_payload else []),
-                        *(["render_mode"] if dispatch else []),
-                    ).withColumn("_round", F.lit(round_idx)))
-            tick("metrics_agg")
 
             # --- outlink extraction on OK pages only (crawler.go:644).
             # Explicit repartition before the expensive canonicalization: AQE
@@ -717,6 +723,10 @@ def crawl(
                 "order_counter": order_counter,
                 "wall_s": round(round_wall, 3),
                 **({"retried": n_retry} if has_attempt else {}),
+                # deferred rows re-enter the next frontier: the progress
+                # ticker needs them for queue_size and must NOT count
+                # them processed (ADVICE r3)
+                **({"deferred": n_deferred} if politeness else {}),
                 # lets resume/maintenance validate the persisted
                 # seen_filters blobs before trusting them
                 **({"seen_filter_cfg": [cfg.seen_filter, cfg.bloom_buckets,
@@ -726,16 +736,15 @@ def crawl(
                 **({"disk_seen_cfg": [cfg.disk_seen_buckets]}
                    if cfg.disk_seen else {}),
             }
-            if agg is not None:
-                m.update({
-                    "urls_per_sec": round(int(agg["processed"] or 0) / max(round_wall, 1e-9), 1),
-                    "processed": int(agg["processed"] or 0),
-                    "crawled": int(agg["crawled"] or 0),
-                    "failed": int(agg["failed"] or 0),
-                    "max_depth": int(agg["max_depth"] or 0),
-                    **({"payload_ok": int(agg["payload_ok"] or 0)} if cfg.verify_payload else {}),
-                    **({"rendered": int(agg["rendered"] or 0)} if dispatch else {}),
-                })
+            m.update({
+                "urls_per_sec": round(int(om["processed"] or 0) / max(round_wall, 1e-9), 1),
+                "processed": int(om["processed"] or 0),
+                "crawled": int(om["crawled"] or 0),
+                "failed": int(om["failed"] or 0),
+                "max_depth": int(om["max_depth"] or 0),
+                **({"payload_ok": int(om["payload_ok"] or 0)} if cfg.verify_payload else {}),
+                **({"rendered": int(om["rendered"] or 0)} if dispatch else {}),
+            })
             total_skipped += skipped_depth + int(blocked_robots)
 
             if cfg.bloom_seen:
@@ -836,48 +845,6 @@ def crawl(
             seen_df = seen_parts[0]
             for p in seen_parts[1:]:
                 seen_df = seen_df.unionByName(p)
-
-        tickz = _Tick(round_idx)
-        if fetch_parts:
-            # fold ALL deferred per-round status aggregations in one job
-            u = fetch_parts[0]
-            for p in fetch_parts[1:]:
-                u = u.unionByName(p)
-            per_round = {int(r["_round"]): r for r in u.groupBy("_round").agg(
-                F.count("*").alias("processed"),
-                F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("crawled"),
-                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failed"),
-                F.max("depth").alias("max_depth"),
-                *([F.sum(F.when(F.col("payload_ok"), 1).otherwise(0)).alias("payload_ok")]
-                  if cfg.verify_payload else []),
-                *([F.sum(F.when(F.col("render_mode"), 1).otherwise(0)).alias("rendered")]
-                  if dispatch else []),
-            ).collect()}
-            zero = {"processed": 0, "crawled": 0, "failed": 0, "max_depth": 0,
-                    "urls_per_sec": 0.0,
-                    **({"payload_ok": 0} if cfg.verify_payload else {}),
-                    **({"rendered": 0} if dispatch else {})}
-            for m in metrics:
-                r = per_round.get(m["round"])
-                if r is None:
-                    # a round whose fetched frame was empty (e.g. robots
-                    # blocked the whole frontier) has no groupBy row — emit
-                    # zeros like the old eager agg did, so consumers indexing
-                    # m["processed"] never KeyError
-                    m.update(zero)
-                    continue
-                m.update({
-                    "processed": int(r["processed"] or 0),
-                    "crawled": int(r["crawled"] or 0),
-                    "failed": int(r["failed"] or 0),
-                    "max_depth": int(r["max_depth"] or 0),
-                    "urls_per_sec": round(int(r["processed"] or 0)
-                                          / max(m["wall_s"], 1e-9), 1),
-                    **({"payload_ok": int(r["payload_ok"] or 0)} if cfg.verify_payload else {}),
-                    **({"rendered": int(r["rendered"] or 0)} if dispatch else {}),
-                })
-
-            tickz("final_fold")
 
         return CrawlRun(results=results, metrics=metrics, rounds=round_idx, seen=seen_df)
 

@@ -22,10 +22,11 @@ Counter mapping (reference Stats, progress.go:13-24):
   ``new_discovered``.
 - ``URLsFailed``     <- sum of ``failed``.
 - ``URLsSkipped``    <- sum of ``skipped_depth + blocked_robots``.
-- ``QueueSize``      <- the last round's ``new_discovered`` (BFS: the
-  next frontier IS the new discoveries), so the ticker switches to the
-  reference's "Processed:" idle format (progress.go:289-295) exactly
-  when the frontier drains.
+- ``QueueSize``      <- the last round's ``new_discovered + deferred +
+  retried`` (the actual next frontier, plans/crawl.py), so the ticker
+  switches to the reference's "Processed:" idle format
+  (progress.go:289-295) exactly when the frontier drains — including
+  under politeness deferral or retry re-enqueues.
 
 Reporting must never kill a crawl (the reference swallows display
 errors the same way): every poll/paint is exception-guarded.
@@ -103,18 +104,32 @@ class LiveProgressReporter:
             frontier = int(m.get("frontier", 0) or 0)
             skipped = (int(m.get("skipped_depth", 0) or 0)
                        + int(m.get("blocked_robots", 0) or 0))
+            deferred = int(m.get("deferred", 0) or 0)
+            retried = int(m.get("retried", 0) or 0)
             if "processed" in m:
                 self.processed += int(m.get("processed", 0) or 0)
             else:
-                # deferred metrics fold: every frontier row is either
-                # processed or skipped, so estimate until finalize()
-                self.processed += max(frontier - skipped, 0)
-            if self._rounds == 0:
+                # deferred metrics fold: a frontier row is processed
+                # unless it was skipped, deferred to the next round by a
+                # politeness budget, or re-enqueued for retry (ADVICE r3:
+                # deferred/retried rows re-enter the next frontier and
+                # must not be double-counted as processed here)
+                self.processed += max(frontier - skipped - deferred - retried, 0)
+            # the round-0 frontier IS the seed list; keyed on the metric
+            # dict's own round index, not a local call counter, so a
+            # --resume run's first callback (round > 0) is never
+            # miscounted as seed discoveries (ADVICE r3)
+            if int(m.get("round", self._rounds) or 0) == 0:
                 self.discovered += frontier  # the seeds
             self.discovered += int(m.get("new_discovered", 0) or 0)
             self.failed += int(m.get("failed", 0) or 0)
             self.skipped += skipped
-            self.queue_size = int(m.get("new_discovered", 0) or 0)
+            # the actual next frontier = new discoveries + politeness
+            # deferrals + retry re-enqueues (plans/crawl.py n_frontier);
+            # new_discovered alone would flip the ticker into the drained
+            # 'Processed:' format while the crawl continues (ADVICE r3)
+            self.queue_size = (int(m.get("new_discovered", 0) or 0)
+                               + deferred + retried)
             self._rounds += 1
 
     def finalize(self, metrics: list[dict]) -> None:
@@ -129,10 +144,17 @@ class LiveProgressReporter:
             self.skipped = sum(int(m.get("skipped_depth", 0) or 0)
                                + int(m.get("blocked_robots", 0) or 0)
                                for m in metrics)
-            self.discovered = (int(metrics[0].get("frontier", 0) or 0)
+            # seeds = the round-0 frontier; a resumed run's metrics list
+            # still starts at round 0 (read back from the checkpoint)
+            seeds = next((int(m.get("frontier", 0) or 0) for m in metrics
+                          if int(m.get("round", 0) or 0) == 0), 0)
+            self.discovered = (seeds
                                + sum(int(m.get("new_discovered", 0) or 0)
                                      for m in metrics))
-            self.queue_size = int(metrics[-1].get("new_discovered", 0) or 0)
+            last = metrics[-1]
+            self.queue_size = (int(last.get("new_discovered", 0) or 0)
+                               + int(last.get("deferred", 0) or 0)
+                               + int(last.get("retried", 0) or 0))
 
     def get_stats(self) -> dict:
         """Snapshot, with elapsed/rate computed at read time like the
