@@ -35,3 +35,30 @@ def test_first_wins_keeps_min_tie_and_payload(spark):
     out = {r["url"]: (r["parent_order"], r["pos"], r["depth"])
            for r in first_wins(df, "url", ["parent_order", "pos"]).collect()}
     assert out == {"u1": (3, 1, 12), "u2": (7, 0, 13)}
+
+
+def test_with_global_order_exact_rank_at_sampling_scale(spark):
+    """Enough rows per partition that RangePartitioner's SAMPLED
+    boundaries no longer see every row — the regime where the pre-r4
+    two-execution pattern could mis-anchor offsets (observed at the
+    10^7-URL operating point as cross-run rank shifts). Orders must be
+    the exact global sort rank, identically across layouts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from urlmap_spark.operators.order import with_global_order
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(1 << 40), rng.randrange(1 << 20)) for _ in range(60_000)]
+    rows = list({(a, b) for a, b in rows})  # distinct keys per contract
+    expect = {k: i + 7 for i, k in enumerate(sorted(rows))}
+
+    df = spark.createDataFrame(rows, "parent_order long, pos long")
+    for parts in (5, 32):
+        out, counter = with_global_order(
+            df.repartition(parts), ["parent_order", "pos"], start=7,
+            num_partitions=16)
+        got = {(r["parent_order"], r["pos"]): r["order"] for r in out.collect()}
+        assert counter == 7 + len(rows)
+        assert got == expect, "order is not the exact global rank"
