@@ -171,3 +171,21 @@ def test_ivf_train_partitioning_invariant_recall(spark, emb):
               S.ivf_topk(rest, q, k=10, nprobe=3, centroids=c).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.9, f"trained IVF recall too low: {recall}"
+
+
+def test_ivf_assign_matmul_matches_expression_path(spark, emb):
+    """The broadcast-matmul assignment (the >hundreds-of-centroids scale
+    form) must agree with the expression-path ivf_assign cell for cell
+    on the clustered fixture — same cosine argmax, same first-max
+    tie-break."""
+    import numpy as np
+
+    c = S.ivf_centroids(emb, n_centroids=8)
+    a = {r["vec_id"]: r["cell"] for r in S.ivf_assign(emb, c).select("vec_id", "cell").collect()}
+    b = {r["vec_id"]: r["cell"]
+         for r in S.ivf_assign_matmul(emb, c).select("vec_id", "cell").collect()}
+    assert a == b
+    # and at a centroid count past what the expression path would build
+    big = np.vstack([c] * 40)  # 320 "centroids" (rows repeat: argmax -> first)
+    got = S.ivf_assign_matmul(emb, big).select("vec_id", "cell").collect()
+    assert all(r["cell"] < 8 for r in got)  # first occurrence wins
