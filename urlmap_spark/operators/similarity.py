@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -197,7 +198,6 @@ def ivf_assign_matmul(emb: DataFrame, centroids: np.ndarray,
     vectorized pandas UDF, no per-row Python. Same cosine-argmax
     semantics and first-max tie-break as ivf_assign (pytest pins
     equality on the clustered fixture)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(centroids, dtype=np.float64)
