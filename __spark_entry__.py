@@ -1328,8 +1328,70 @@ def _q_crawl_reach(spark, sf_dir):
     return run.results.select("url", "depth", "status", "ok")
 
 
+# --- driver-slot curation (VERDICT r4 "Next round" #1) -----------------------
+# The driver's CORRECTNESS file has held exactly 50 rows for two rounds
+# (r3/r4) against a 76-query registry, and the 50 it records are exactly
+# the first 50 registry entries in dict order — so registry ORDER is the
+# lever that decides which queries get a driver-side green row. The list
+# below is the curated priority: the full-engine value checks first
+# (crawl-bfs / crawl-reach were driver-unverified for two rounds), then
+# exactly one value-checked query per operator family — crawl kernel,
+# robots/politeness, seen (broadcast + the 10^10 disk path), dedup
+# (exact/ngram/minhash/simhash/components), image (phash arith twin
+# value-checks codec+phash end to end), winnow, embeddings/ANN (exact
+# top-k ground truth + the int-quantized IVF/LSH/batch probes),
+# classifier, curation/sampling/packing, text stats, and AV. Redundant
+# variants (bloom/cuckoo seen twins, uncapped ngram, components-only,
+# the no_oracle minhash/simhash defaults, ...) sit PAST slot 50: they
+# keep their registry entries and pytest/judge coverage, they just no
+# longer spend driver slots. Registry stays frozen-by-append: curation
+# reorders, never renames or drops.
+_DRIVER_SLOT_ORDER = [
+    # full-engine value checks (BFS order + URL-seen set vs oracle)
+    "crawl-bfs", "crawl-reach",
+    # URL kernel + fetch
+    "fetch-join", "url-normalize", "url-valid-filter", "lenient-valid-filter",
+    "scheme-skip-filter", "status-window-filter", "extract-domain-project",
+    "same-domain-filter", "path-prefix-filter",
+    # extraction + stats
+    "extract-explode", "extract-stats-agg", "stats-agg",
+    # SPA detection / dispatch
+    "spa-score-agg", "spa-dynamic-verify", "render-dispatch",
+    # robots + politeness
+    "robots-parse", "robots-longest-match", "robots-gate",
+    "quota-schedule", "global-cap-schedule", "priority-schedule",
+    "per-host-quota-topk",
+    # seen set: broadcast path + the 10^10 disk-bucket path
+    "seen-anti-join", "seen-disk-anti-join",
+    # ordering / output
+    "first-wins-dedup", "output-dedup-sort",
+    # dedup family (one value-checked entry per mechanism)
+    "dedup-exact", "dedup-ngram-capped", "dedup-canonical",
+    "dedup-minhash-arith", "dedup-simhash-arith",
+    # image + winnow + embeddings
+    "image-phash-arith", "doc-winnow-pairs", "embed-neardup-blocked",
+    # ANN: exact ground truth + int-quantized probe machinery
+    "embed-cosine-topk", "embed-ann-ivf-int", "embed-ann-lsh-int",
+    "embed-ann-ivf-batch-int",
+    # classifier + curation chain
+    "quality-classifier-arith", "quality-classifier-table",
+    "corpus-curate", "corpus-sample-arith", "corpus-pack-shards",
+    # text stats + AV
+    "text-langid", "text-quality", "token-count",
+    "audio-chunk-features", "video-frame-sample",
+]
+
+
+def _curate(d: dict) -> dict:
+    """Re-key `d` so _DRIVER_SLOT_ORDER entries come first (in that
+    order), then everything else in original registry order."""
+    out = {k: d[k] for k in _DRIVER_SLOT_ORDER if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _curate({
         # crawl-engine primitives (SURVEY.md §2 [Q] rows)
         "fetch-join": _q_fetch_join,
         "url-valid-filter": _q_url_valid_filter,
@@ -1408,7 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video-frame-sample": _q_video_frame_sample,
         "crawl-bfs": _q_crawl_bfs,
         "crawl-reach": _q_crawl_reach,
-    }
+    })
 
 
 def _minhash_param_values() -> str:
@@ -1441,7 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         PII_PHONE_RE as _PII_PHONE,
     )
 
-    return {
+    return _curate({
         "fetch-join": """
             SELECT o_orderkey, o_custkey,
                    coalesce(c_name, 'MISSING') AS fetched_name,
@@ -2723,4 +2785,4 @@ def oracle_sql() -> dict[str, str]:
         # constants themselves stay unchecked. crawl-bfs is fully
         # value-checked ABOVE, including FIFO `order` (unrolled
         # 3-level CTE); crawl-reach covers unbounded-depth semantics.
-    }
+    })
