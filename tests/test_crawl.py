@@ -302,3 +302,65 @@ def test_catalog_compaction_and_vacuum_preserve_resume(spark, tmp_path):
     v2 = cat.compact(spark, "seen_delta", num_files=1, vacuum=True)
     assert v2 == resumed.rounds - 1
     assert cat.read_union(spark, "seen_delta").count() == n_seen
+
+
+def test_df_seeds_checkpoint_resume(spark, tmp_path):
+    """DataFrame seeds + checkpoint/resume (VERDICT r4 #2): the
+    normalized round-0 frontier persists as the catalog's named `seeds`
+    table, so an interrupted DataFrame-seeded open crawl resumes to the
+    exact output of the uninterrupted one — and the resume ignores
+    whatever DataFrame the caller passes in favor of the table."""
+    pdf = C.corpus_pandas(seed=7, n_hosts=3, total_pages=40, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seeds_df = spark.createDataFrame(
+        [(f"https://h{i}.example-7.test/",) for i in range(3)], "url string")
+    base = dict(max_depth=3, same_domain=False, same_path_prefix=False)
+
+    full = crawl(spark, cdf, seeds_df, CrawlConfig(**base))
+    expect = [(r["url"], r["depth"], r["order"])
+              for r in full.results.orderBy("order").collect()]
+    expect_seen = sorted(r["url"] for r in full.seen.distinct().collect())
+
+    ck = str(tmp_path / "ck_df_seeds")
+    partial = crawl(spark, cdf, seeds_df,
+                    CrawlConfig(**base, checkpoint_dir=ck, max_rounds=1))
+    assert partial.rounds == 1
+    from urlmap_spark.sources.catalog import RoundCatalog
+    cat = RoundCatalog(ck)
+    assert cat.has_table("seeds")
+    # resume passes a DIFFERENT df: the persisted table must win
+    decoy = spark.createDataFrame([("https://decoy.test/",)], "url string")
+    resumed = crawl(spark, cdf, decoy, CrawlConfig(**base, checkpoint_dir=ck),
+                    resume=True)
+    got = [(r["url"], r["depth"], r["order"])
+           for r in resumed.results.orderBy("order").collect()]
+    assert got == expect
+    got_seen = sorted(r["url"] for r in resumed.seen.distinct().collect())
+    assert got_seen == expect_seen  # seeds re-join seen from the table
+    assert "https://decoy.test/" not in got_seen
+
+
+def test_df_seeds_preround_interrupt_resume(spark, tmp_path):
+    """Interrupt BEFORE any round commits (max_rounds=0): only the seed
+    table exists; a resume restarts round 0 from it and completes to
+    full parity."""
+    pdf = C.corpus_pandas(seed=7, n_hosts=3, total_pages=40, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seeds_df = spark.createDataFrame(
+        [(f"https://h{i}.example-7.test/",) for i in range(3)], "url string")
+    base = dict(max_depth=3, same_domain=False, same_path_prefix=False)
+    expect = [(r["url"], r["depth"], r["order"]) for r in
+              crawl(spark, cdf, seeds_df, CrawlConfig(**base))
+              .results.orderBy("order").collect()]
+
+    ck = str(tmp_path / "ck_df_pre")
+    stub = crawl(spark, cdf, seeds_df,
+                 CrawlConfig(**base, checkpoint_dir=ck, max_rounds=0))
+    assert stub.rounds == 0 and stub.results.count() == 0
+    from urlmap_spark.sources.catalog import RoundCatalog
+    assert RoundCatalog(ck).has_table("seeds")
+    resumed = crawl(spark, cdf, seeds_df,
+                    CrawlConfig(**base, checkpoint_dir=ck), resume=True)
+    got = [(r["url"], r["depth"], r["order"])
+           for r in resumed.results.orderBy("order").collect()]
+    assert got == expect

@@ -207,14 +207,20 @@ def test_inline_seen_compaction_parity(spark, tmp_path):
                for r in run.results.orderBy("order").collect()]
         assert got == want, f"inline compaction broke parity ({mode})"
         cat = RoundCatalog(ck)
-        paths = cat.table_paths("seen_delta")
-        assert any(os.sep + "compact" + os.sep in p for p in paths), \
-            f"no compaction snapshot served ({mode})"
-        # covered per-round delta dirs were vacuumed
-        covered = [r for r in cat.committed_rounds()
-                   if os.path.exists(os.path.join(
-                       ck, "rounds", f"r={r:04d}", "seen_delta"))]
-        assert len(covered) < run.rounds, f"vacuum removed nothing ({mode})"
+        for tbl in ("seen_delta", "results", "lineage"):
+            paths = cat.table_paths(tbl)
+            assert any(os.sep + "compact" + os.sep in p for p in paths), \
+                f"no {tbl} compaction snapshot served ({mode})"
+            # file count the final read_union opens is bounded to one
+            # snapshot + at most <cadence> post-snapshot deltas
+            # (VERDICT r4 #5) — not one dir per round
+            assert len(paths) <= 1 + 2, \
+                f"{tbl} paths unbounded ({mode}): {paths}"
+            covered = [r for r in cat.committed_rounds()
+                       if os.path.exists(os.path.join(
+                           ck, "rounds", f"r={r:04d}", tbl))]
+            assert len(covered) < run.rounds, \
+                f"{tbl} vacuum removed nothing ({mode})"
 
     # kill after round 2 (post-compaction), resume, same output
     ck = str(tmp_path / "ck_resume")
@@ -226,3 +232,38 @@ def test_inline_seen_compaction_parity(spark, tmp_path):
     got = [(r["url"], r["depth"], r["order"])
            for r in resumed.results.orderBy("order").collect()]
     assert got == want
+
+
+def test_df_seeds_disk_seen_resume(spark, tmp_path):
+    """DataFrame seeds on the 10^10 path: the seed table persists in the
+    same _ub bucket layout as seen_delta and the bucket probe reads it
+    as one more delta dir (no broadcast of the seed set). Interrupt +
+    resume reproduces the in-memory DataFrame-seeded crawl exactly, and
+    a bucket-count mismatch on resume refuses."""
+    pdf = C.corpus_pandas(seed=7, n_hosts=3, total_pages=40, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seeds_df = spark.createDataFrame(
+        [(f"https://h{i}.example-7.test/",) for i in range(3)], "url string")
+    base = dict(max_depth=3, same_domain=False, same_path_prefix=False)
+    want = [(r["url"], r["depth"], r["order"]) for r in
+            crawl(spark, cdf, seeds_df, CrawlConfig(**base))
+            .results.orderBy("order").collect()]
+
+    ck = str(tmp_path / "ck_df_disk")
+    dcfg = dict(**base, checkpoint_dir=ck, broadcast_seen_max_urls=0,
+                disk_seen=True, disk_seen_buckets=8)
+    partial = crawl(spark, cdf, seeds_df, CrawlConfig(**dcfg, max_rounds=1))
+    assert partial.rounds == 1
+    cat = RoundCatalog(ck)
+    assert cat.has_table("seeds")
+    # the seed table really is bucketed with the run's layout
+    assert any(x.startswith("_ub=") for x in os.listdir(cat.table_dir("seeds")))
+    assert cat.read_table_meta("seeds")["disk_seen_cfg"] == [8]
+    resumed = crawl(spark, cdf, seeds_df, CrawlConfig(**dcfg), resume=True)
+    got = [(r["url"], r["depth"], r["order"])
+           for r in resumed.results.orderBy("order").collect()]
+    assert got == want
+    # mismatched bucket layout must refuse, naming the configs
+    with pytest.raises(ValueError, match="seeds table was written with"):
+        crawl(spark, cdf, seeds_df,
+              CrawlConfig(**{**dcfg, "disk_seen_buckets": 16}), resume=True)

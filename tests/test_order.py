@@ -62,3 +62,22 @@ def test_with_global_order_exact_rank_at_sampling_scale(spark):
         got = {(r["parent_order"], r["pos"]): r["order"] for r in out.collect()}
         assert counter == 7 + len(rows)
         assert got == expect, "order is not the exact global rank"
+
+
+def test_with_global_order_null_key_raises(spark):
+    """A NULL sort key violates the operator contract; it must surface
+    as a loud runtime error, not a silent NULL order (ADVICE r4)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "k int, v string")
+    out, _ = with_global_order(df, ["k"], order_col="order")
+    with pytest.raises(Exception, match="NULL sort key"):
+        out.collect()
+    # and the non-null path is untouched
+    clean = spark.createDataFrame([(2, "a"), (1, "b")], "k int, v string")
+    got, n = with_global_order(clean, ["k"], order_col="order")
+    assert {(r["k"], r["order"]) for r in got.collect()} == {(1, 0), (2, 1)}
+    assert n == 2

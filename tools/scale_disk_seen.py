@@ -16,7 +16,11 @@ Reports:
    uninterrupted run.
 
 Usage: python tools/scale_disk_seen.py [total_pages] [cores] [kill_after]
+                                       [--seeds-table]
 Defaults: 10_000_000 pages, 32 cores, interrupt after round 2.
+--seeds-table hands the seed set to the crawl as a DataFrame: the crawl
+persists it as the catalog's named `seeds` table and every resume leg
+rebuilds from that table (VERDICT r4 #2 evidence mode).
 """
 
 from __future__ import annotations
@@ -72,10 +76,14 @@ def seeds_for(pages: int) -> list[str]:
 
 
 def one_leg(cores: int, cp: str, seeds: list[str], ck: str,
-            resume: bool, max_rounds: int) -> dict:
+            resume: bool, max_rounds: int,
+            seeds_table: bool = False) -> dict:
     """One crawl leg in its own SparkSession (resume legs therefore
     rebuild ALL state from the checkpoint's storage, like a fresh
-    spark-submit would)."""
+    spark-submit would). seeds_table=True hands the seed set to the
+    crawl as a DataFrame (the 10^10-frontier path): the crawl persists
+    it as the catalog's named `seeds` table and the resume leg rebuilds
+    from that table — VERDICT r4 #2's interrupt/resume evidence."""
     from pyspark.sql import functions as F
 
     from urlmap_spark.plans.crawl import CrawlConfig, crawl
@@ -86,8 +94,11 @@ def one_leg(cores: int, cp: str, seeds: list[str], ck: str,
               .repartition(cores * 2, F.col("url"))
               .sortWithinPartitions("url").persist())
     corpus.count()
+    seed_arg: object = seeds
+    if seeds_table:
+        seed_arg = spark.createDataFrame([(s,) for s in seeds], "url string")
     t0 = time.time()
-    run = crawl(spark, corpus, seeds,
+    run = crawl(spark, corpus, seed_arg,
                 CrawlConfig(max_depth=DEPTH, same_domain=False,
                             checkpoint_dir=ck, broadcast_seen_max_urls=0,
                             disk_seen=True, disk_seen_buckets=BUCKETS,
@@ -133,17 +144,21 @@ def parity(cores: int, ck_a: str, ck_b: str) -> dict:
 
 
 def main() -> None:
-    pages = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    kill_after = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    args = [a for a in sys.argv[1:] if a != "--seeds-table"]
+    seeds_table = "--seeds-table" in sys.argv[1:]
+    pages = int(args[0]) if len(args) > 0 else 10_000_000
+    cores = int(args[1]) if len(args) > 1 else 32
+    kill_after = int(args[2]) if len(args) > 2 else 2
 
     cp = ensure_corpus(pages, cores)
     seeds = seeds_for(pages)
-    print(f"corpus={pages} pages @ {cp}; {len(seeds)} seeds; "
+    print(f"corpus={pages} pages @ {cp}; {len(seeds)} seeds"
+          f"{' (as DataFrame seed table)' if seeds_table else ''}; "
           f"buckets={BUCKETS} compact_every={COMPACT_EVERY}", flush=True)
 
     ck_a = tempfile.mkdtemp(prefix="scale_dsk_a_")
-    a = one_leg(cores, cp, seeds, ck_a, resume=False, max_rounds=10_000)
+    a = one_leg(cores, cp, seeds, ck_a, resume=False, max_rounds=10_000,
+                seeds_table=seeds_table)
     print("\n== uninterrupted run ==", flush=True)
     print(f"wall={a['wall_s']}s rounds={a['rounds']} "
           f"processed={a['processed']} |seen|={a['seen']}", flush=True)
@@ -161,10 +176,12 @@ def main() -> None:
     # per leg; crash-mid-commit atomicity is pinned separately by the
     # kill-point tests in tests/test_disk_seen.py at small scale)
     ck_b = tempfile.mkdtemp(prefix="scale_dsk_b_")
-    b1 = one_leg(cores, cp, seeds, ck_b, resume=False, max_rounds=kill_after)
+    b1 = one_leg(cores, cp, seeds, ck_b, resume=False, max_rounds=kill_after,
+                 seeds_table=seeds_table)
     print(f"\n== interrupted after {b1['rounds']} rounds: "
           f"wall={b1['wall_s']}s processed={b1['processed']} ==", flush=True)
-    b2 = one_leg(cores, cp, seeds, ck_b, resume=True, max_rounds=10_000)
+    b2 = one_leg(cores, cp, seeds, ck_b, resume=True, max_rounds=10_000,
+                 seeds_table=seeds_table)
     print(f"== resumed to completion: wall={b2['wall_s']}s "
           f"rounds(total)={b2['rounds']} |seen|={b2['seen']} ==", flush=True)
 

@@ -170,13 +170,23 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             sitemap_count = len(sm_rows)
             from .functions import urlcore
 
+            # normalize exactly like crawl() normalizes the seed list,
+            # and skip URLs already seeded (ADVICE r4: a raw sitemap URL
+            # equal to a CLI seed — or a normalization variant of one —
+            # must not enter the list twice; dedup here keeps the seed
+            # count display and the 64-seed scope limit honest)
+            seeded = {urlcore.normalize_url(s) for s in seeds
+                      if urlcore.is_valid_url(s)}
             for r in sm_rows:
                 u = (r["sitemap"] or "").strip()
-                if urlcore.is_valid_url(u):
-                    seeds.append(u)
-                else:
+                if not urlcore.is_valid_url(u):
                     print(f"warning: skipping invalid sitemap URL: {u}",
                           file=sys.stderr)
+                    continue
+                n = urlcore.normalize_url(u)
+                if n not in seeded:
+                    seeded.add(n)
+                    seeds.append(n)
         else:
             sitemap_count = sitemaps.count()
     elif args.seed_from_sitemaps:

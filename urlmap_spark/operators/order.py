@@ -56,8 +56,12 @@ def with_global_order(
     """Adds ``order_col`` = start, start+1, ... following sort_cols order.
 
     Sort keys must be distinct per row (ties spanning a pass-1 boundary
-    would otherwise make bucket assignment ambiguous); the crawl
-    guarantees this because (parent_order, pos) identifies one href slot.
+    would otherwise make bucket assignment ambiguous) and NON-NULL: the
+    bucket expression compares keys lexicographically, so a NULL key
+    would null-propagate into a silent NULL order — instead, a runtime
+    guard raises on the first null-keyed row when the order column
+    materializes (ADVICE r4). The crawl guarantees both because
+    (parent_order, pos) identifies one href slot.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -83,6 +87,14 @@ def with_global_order(
     bucket = F.lit(0)
     for r in stats[:-1]:
         bucket = bucket + _lex_gt(keys, tuple(r["mx"])).cast("int")
+    # contract guard: a NULL sort key would null-propagate through
+    # _lex_gt into a silent NULL bucket/order — raise loudly instead
+    allnn = F.lit(True)
+    for k in keys:
+        allnn = allnn & k.isNotNull()
+    bucket = F.when(allnn, bucket).otherwise(F.raise_error(F.lit(
+        "with_global_order: NULL sort key "
+        f"(sort_cols={sort_cols!r} must be non-null)")))
     w = Window.partitionBy("_bkt").orderBy(*keys)
     offmap = F.create_map(
         *[x for i, off in enumerate(offsets) for x in (F.lit(i), F.lit(off))])

@@ -219,18 +219,22 @@ def crawl(
     seed-list order (FIFO enqueue semantics). DataFrame seeds are the
     10^10-frontier path: validated/normalized/deduped distributed, with
     round-0 order = lexicographic URL order (a deterministic canonical
-    choice); scoped crawls (same_domain) need a list, not a DataFrame."""
+    choice); scoped crawls (same_domain) need a list, not a DataFrame.
+
+    With a checkpoint_dir, DataFrame seeds are persisted as the
+    catalog's named ``seeds`` table (url, depth, order — the normalized
+    round-0 frontier) BEFORE round 0 runs, so the crawl is resumable
+    from any interrupt point: a resume rebuilds ``seen`` from the seed
+    table plus the committed deltas, exactly as the list path rebuilds
+    it from the config seeds. On resume the passed DataFrame is ignored
+    in favor of the persisted table (normalization and round-0 order
+    parity are guaranteed by construction)."""
     cfg = cfg or CrawlConfig()
     seeds_df: DataFrame | None = None
     if isinstance(seed_url, DataFrame):
         if cfg.same_domain:
             raise ValueError("DataFrame seeds require same_domain=False; "
                              "scoped crawls take a seed list")
-        if cfg.checkpoint_dir:
-            raise NotImplementedError(
-                "DataFrame seeds + checkpoint/resume: the resume path "
-                "rebuilds `seen` from seed list + deltas and does not yet "
-                "persist a seed table; use a list of seeds")
         seeds_df = seed_url
         seeds: list[str] = []
         seed = None
@@ -298,6 +302,11 @@ def crawl(
 
         metrics: list[dict] = []
         results_parts: list[DataFrame] = []
+        # df_seeded: this crawl's seed set lives in the catalog's named
+        # `seeds` table (fresh DataFrame-seed run writes it below; a
+        # resume finds it already committed) rather than in the config
+        df_seeded = seeds_df is not None or (
+            catalog is not None and catalog.has_table("seeds"))
 
         if resume and catalog is not None and catalog.last_round() is not None:
             last = catalog.last_round()
@@ -307,10 +316,28 @@ def crawl(
             if seeds:
                 seen = seen.unionByName(
                     spark.createDataFrame([(s,) for s in seeds], "url string"))
+            if catalog.has_table("seeds"):
+                # DataFrame-seeded crawl: seeds never enter any
+                # seen_delta, so the persisted seed table re-joins the
+                # seen set exactly as config seeds do on the list path
+                seen = seen.unionByName(
+                    catalog.read_table(spark, "seeds").select("url"))
             m = catalog.read_metrics(last)
             order_counter = int(m["order_counter"])
             round_idx = last + 1
             metrics = [catalog.read_metrics(r) for r in catalog.committed_rounds()]
+        elif resume and catalog is not None and catalog.has_table("seeds"):
+            # DataFrame-seeded crawl interrupted BEFORE the round-0
+            # commit: restart round 0 from the persisted seed table (the
+            # passed seed DataFrame, if any, is ignored — the table is
+            # the normalization/ordering-parity source of truth)
+            frontier = (catalog.read_table(spark, "seeds")
+                        .select("url", "depth", "order")
+                        .localCheckpoint(eager=True))
+            order_counter = int(catalog.read_table_meta("seeds")["order_counter"])
+            seen = frontier.select("url")
+            round_idx = 0
+            tick0("setup_seeds_table_resume")
         elif seeds_df is not None:
             from ..functions.urlkernel import is_valid_udf, normalize_udf
 
@@ -324,6 +351,24 @@ def crawl(
                 norm.withColumn("depth", F.lit(0)), ["url"], order_col="order",
                 start=0, num_partitions=cfg.frontier_partitions)
             frontier = frontier.select("url", "depth", "order").localCheckpoint(eager=True)
+            if catalog is not None:
+                # persist the normalized round-0 frontier as the named
+                # seed table BEFORE any round runs: from here on every
+                # interrupt point is resumable (VERDICT r4 #2). Bucketed
+                # by the disk-seen key when disk_seen is on, so the
+                # bucket probe reads it like one more seen_delta dir —
+                # at the 10^10-frontier design point the seed set is
+                # itself a table and must never ride a broadcast.
+                sd_meta: dict = {"order_counter": order_counter}
+                sd_pb = None
+                sd_tbl = frontier
+                if cfg.disk_seen:
+                    from ..operators import diskseen as _dsk0
+                    sd_tbl = _dsk0.with_bucket(frontier, cfg.disk_seen_buckets)
+                    sd_pb = ["_ub"]
+                    sd_meta["disk_seen_cfg"] = [cfg.disk_seen_buckets]
+                catalog.commit_table("seeds", sd_tbl, partition_by=sd_pb,
+                                     meta=sd_meta)
             seen = frontier.select("url")
             round_idx = 0
             tick0("setup_seeds_df")
@@ -345,14 +390,27 @@ def crawl(
         seen_parts: list[DataFrame] = [seen.localCheckpoint(eager=True)]
         tick0("setup_seen_ckpt")
         seeds_seen_small: DataFrame | None = None
+        seeds_table_dirs: list[str] = []
         if cfg.disk_seen:
             # the only seen URLs that never reach the catalog's seen_delta
             # tables are the seeds themselves (each round's new URLs are
-            # committed before the next anti-join runs) — kept as a tiny
-            # broadcastable frame so the disk path stays exactly complete
+            # committed before the next anti-join runs) — list seeds are
+            # kept as a tiny broadcastable frame; a DataFrame seed TABLE
+            # (10^10-frontier path: never broadcastable) is persisted in
+            # the same _ub bucket layout as seen_delta, so the bucket
+            # probe reads it like one more delta dir
             if seeds:
                 seeds_seen_small = spark.createDataFrame(
                     [(s,) for s in seeds], "url string").localCheckpoint(eager=True)
+            if df_seeded and catalog is not None and catalog.has_table("seeds"):
+                got_sd = catalog.read_table_meta("seeds").get("disk_seen_cfg")
+                if got_sd != [cfg.disk_seen_buckets]:
+                    raise ValueError(
+                        f"disk_seen resume: seeds table was written with "
+                        f"disk_seen_cfg={got_sd!r}, this run wants "
+                        f"{[cfg.disk_seen_buckets]!r} — bucket layouts are "
+                        "incompatible; re-crawl or match disk_seen_buckets")
+                seeds_table_dirs = [catalog.table_dir("seeds")]
             if resume and catalog is not None and catalog.last_round() is not None:
                 # a checkpoint written without disk_seen has FLAT seen_delta
                 # dirs: the bucket probe would read nothing from them and
@@ -669,7 +727,8 @@ def crawl(
                 from ..operators import diskseen as _dsk
                 deduped = first_wins(cand, "url", ["parent_order", "pos"])
                 new = _dsk.disk_seen_anti_join(
-                    deduped, catalog.table_paths("seen_delta"),
+                    deduped,
+                    seeds_table_dirs + catalog.table_paths("seen_delta"),
                     cfg.disk_seen_buckets, filters, bloom_cfg,
                     extra_seen=seeds_seen_small,
                 ).localCheckpoint(eager=True)
@@ -802,6 +861,16 @@ def crawl(
                 if cfg.compact_seen_every > 0 and \
                         (round_idx + 1) % cfg.compact_seen_every == 0:
                     catalog.compact(spark, "seen_delta", vacuum=True)
+                    # same cadence for the append-only results/lineage
+                    # tables (VERDICT r4 #5): a 10^3-round crawl would
+                    # otherwise accrete per-round dirs whose open/footer
+                    # cost dominates the final read_union — the classic
+                    # small-files problem, bounded here to one snapshot
+                    # + <cadence> deltas per table. Resume never reads
+                    # these tables (frontier/seen/metrics only), so the
+                    # fold cannot perturb resume state.
+                    catalog.compact(spark, "results", vacuum=True)
+                    catalog.compact(spark, "lineage", vacuum=True)
                     # the old seen_parts entries lazily reference the
                     # just-vacuumed delta dirs — rebuild from the
                     # snapshot (+ seeds, which never enter any delta)
@@ -810,6 +879,9 @@ def crawl(
                     if seeds:
                         seen_parts.append(spark.createDataFrame(
                             [(s,) for s in seeds], "url string"))
+                    if catalog.has_table("seeds"):
+                        seen_parts.append(
+                            catalog.read_table(spark, "seeds").select("url"))
                     tick("seen_compact")
             else:
                 results_parts.append(results_r)
@@ -832,11 +904,22 @@ def crawl(
             round_idx += 1
 
         if catalog is not None:
-            results = catalog.read_union(spark, "results")
-            seen_df = catalog.read_union(spark, "seen_delta").select("url")
+            if catalog.committed_rounds():
+                results = catalog.read_union(spark, "results")
+                seen_df = catalog.read_union(spark, "seen_delta").select("url")
+            else:
+                # interrupted before any round committed (e.g. a
+                # max_rounds=0 probe of a DataFrame-seeded setup): the
+                # seed table below is the only state
+                results = spark.createDataFrame([], T.StructType(
+                    [T.StructField(c, T.StringType()) for c in RESULT_COLUMNS]))
+                seen_df = spark.createDataFrame([], "url string")
             if seeds:
                 seen_df = seen_df.unionByName(
                     spark.createDataFrame([(s,) for s in seeds], "url string"))
+            if catalog.has_table("seeds"):
+                seen_df = seen_df.unionByName(
+                    catalog.read_table(spark, "seeds").select("url"))
         else:
             results = results_parts[0] if results_parts else spark.createDataFrame([], T.StructType(
                 [T.StructField(c, T.StringType()) for c in RESULT_COLUMNS]))
