@@ -250,6 +250,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5, seed: int = 42,
     id_col: str = "doc_id", text_col: str = "text",
     hash_expr=None, perm_mod: int = _MERSENNE, exact_bands: bool = False,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-estimated Jaccard.
 
@@ -263,6 +264,13 @@ def minhash_lsh_pairs(
     bucket-collision false-candidate path so the pair set is exactly
     "agrees on some full band" — the property the SQL oracle states.
     Default keeps 8-byte hashed keys (smaller shuffle, the scale path).
+
+    max_band_df — the 100 TB join guard (same pattern as
+    hash_neardup_pairs): a band bucket shared by k docs contributes
+    k^2/2 candidates, and corpus-wide boilerplate (empty docs, licence
+    headers) concentrates into single buckets; with the cap, buckets
+    hotter than max_band_df are dropped from candidate generation.
+    Default None keeps the exact LSH pair set (oracle parity).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, seed, id_col, text_col,
@@ -278,6 +286,11 @@ def minhash_lsh_pairs(
         "id", "sig",
         F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
     )
+    if max_band_df is not None:
+        cool = banded.groupBy("band", "bucket") \
+            .agg(F.count("*").alias("_df")) \
+            .filter(F.col("_df") <= max_band_df).drop("_df")
+        banded = banded.join(cool, ["band", "bucket"])
     cand = (
         banded.alias("a")
         .join(banded.alias("b"),
@@ -357,7 +370,7 @@ def simhash_column(
 def simhash_pairs(
     df: DataFrame, max_hamming: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
-    hash_expr=None,
+    hash_expr=None, max_band_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     Candidate generation: split the 64-bit hash into (max_hamming+1)
@@ -368,7 +381,8 @@ def simhash_pairs(
     what the SQL oracle of the arith-hash variant states all-pairs."""
     sh = simhash_column(df, id_col, text_col, hash_expr=hash_expr)
     return hash_neardup_pairs(sh, id_col="id", hash_col="simhash",
-                              max_hamming=max_hamming)
+                              max_hamming=max_hamming,
+                              max_band_df=max_band_df)
 
 
 def hash_neardup_pairs(

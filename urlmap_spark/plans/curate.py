@@ -67,11 +67,18 @@ def curate_corpus(
     eval_docs: DataFrame | None = None,
     decontam_n: int = 5,
     decontam_min_shared: int = 2,
+    neardup: str | None = None,
+    neardup_kw: dict | None = None,
 ) -> DataFrame:
     """docs + (lang_pred, n_tokens, quality, component, keeper_id,
     is_duplicate, drop_reason, keep). `pairs` is an (id_a, id_b)
     near-dup pair frame from any operators/dedup.py generator; pass
-    None to skip dedup (every doc is its own singleton keeper).
+    None to skip dedup (every doc is its own singleton keeper) — or
+    pass `neardup` (a plans/neardup.py method name, e.g. "minhash")
+    to have the plan generate the pairs itself with the scale-safe
+    document-frequency cap sized from the corpus and logged
+    (VERDICT r4 #4: at the plan level the capped form is the default;
+    the exact/uncapped form stays an explicit operator call).
 
     Optional rules (None/off by default, slotting into the fixed order
     lang -> length -> quality -> repetition -> contaminated ->
@@ -86,6 +93,13 @@ def curate_corpus(
       decontam_min_shared word decontam_n-grams with the eval set is
       dropped as 'contaminated' (adds `n_shared_eval`/`contaminated`;
       broadcast semi-join, see operators/decontam.py)."""
+    if neardup is not None:
+        if pairs is not None:
+            raise ValueError("pass either pairs= or neardup=, not both")
+        from .neardup import neardup_pairs
+
+        pairs = neardup_pairs(docs, method=neardup, id_col=id_col,
+                              text_col=text_col, **(neardup_kw or {}))
     text = F.col(text_col)
     out = (
         docs.withColumn("lang_pred", langid_expr(text))
