@@ -158,3 +158,73 @@ def test_table_path_plan_shape(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_table_path_at_2_20_slots(spark):
+    """VERDICT r4 #8: the production weights-table path at dim 2^20
+    (the regime the array-literal path cannot reach). Synthetic dyadic
+    weights; margins value-checked against a driver-side recomputation
+    over the Spark-derived slots, and the BroadcastExchange's measured
+    dataSize recorded (the doc's 2^20 broadcast-size number)."""
+    from urlmap_spark.operators.classify import (
+        classifier_score_table,
+        dyadic_weights_df,
+    )
+    from urlmap_spark.operators.packing import arith_mix_expr
+
+    DIM = 1 << 20
+    rows = [(i, f"tok{i % 997} alpha{i % 131} beta{i} gamma shared words "
+                f"x{i*7 % 503}") for i in range(300)]
+    rows += [(300, None), (301, "")]
+    df = _docs(spark, rows)
+    w = dyadic_weights_df(spark, DIM)
+    out = classifier_score_table(df, w, dim=DIM, hash_expr=arith_mix_expr,
+                                 bias=0.5)
+    got = {r["doc_id"]: r["clf_margin"] for r in out.collect()}
+
+    # driver-side recomputation: slots from the SAME Spark expression,
+    # weights from the dyadic formula — exact dyadic sums, so equality
+    # is bit-for-bit
+    from urlmap_spark.functions.textstats import tokens_expr
+    from urlmap_spark.operators.classify import (
+        _DYW_A, _DYW_B, _DYW_HALF, _DYW_MOD, feature_index_expr)
+
+    slot_rows = df.select(
+        "doc_id",
+        F.explode_outer(tokens_expr(F.lower(F.coalesce(F.col("text"),
+                                                       F.lit(""))))).alias("t")
+    ).select(
+        "doc_id", feature_index_expr(F.col("t"), DIM, arith_mix_expr)
+        .alias("slot")).collect()
+    import collections
+    exp = collections.defaultdict(lambda: 0.5)
+    for r in slot_rows:
+        if r["slot"] is None:
+            exp[r["doc_id"]] += 0.0
+            continue
+        s = int(r["slot"])
+        exp[r["doc_id"]] += ((s * _DYW_A + _DYW_B) % _DYW_MOD - _DYW_HALF) / _DYW_HALF
+    assert got == dict(exp)
+
+    # measured broadcast size of the 2^20-slot weight table
+    ep = out._jdf.queryExecution().executedPlan()
+    sizes = []
+
+    def walk(node):
+        nm = node.nodeName()
+        if "BroadcastExchange" in nm:
+            m = node.metrics()
+            if m.contains("dataSize"):
+                sizes.append(m.apply("dataSize").value())
+        if "QueryStage" in nm:  # AQE wraps materialized stages
+            walk(node.plan())
+        if nm.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(ep)
+    assert sizes, "no BroadcastExchange found in executed plan"
+    mib = max(sizes) / (1 << 20)
+    print(f"\n2^20-slot weights BroadcastExchange dataSize = {mib:.1f} MiB")
+    assert 8 <= mib <= 128  # sane: 2^20 (int,double) rows, hashed relation
