@@ -315,10 +315,13 @@ def ivf_probe_topk(
     id tie-break contract as brute_force_topk."""
     spark = indexed.sparkSession
     cents = centroids_df(spark, centroids)
+    # deliberate bounded cross join: |queries| x n_centroids rows, both
+    # sides tiny by contract (queries is the probe table, centroids are
+    # the trained index) — this is the probe PLANNER, not a data join
     qscore = (
         queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).cast("array<double>").alias("_qv"))
-        .join(F.broadcast(cents))
+        .crossJoin(F.broadcast(cents))
         .select("query_id", "_qv", "cell",
                 cosine_expr(F.col("_qv"), F.col("cvec")).alias("_cs"))
     )
