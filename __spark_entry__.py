@@ -1056,6 +1056,24 @@ def _q_embed_ann_ivf_batch_int(spark, sf_dir):
                               nprobe=3, stride=37)
 
 
+def _q_embed_ann_lsh_batch_int(spark, sf_dir):
+    """LSH counterpart of the batch index/probe split, value-checked:
+    one corpus bucketing (lsh_topk_int's arithmetic plane rule +
+    integer-quantized dot signs) serves a 3-query table; per-query
+    probe sets (own bucket + hamming-1 flips) built as native
+    expressions over the query table — DuckDB recomputes every bucket,
+    probe choice and ranked row exactly."""
+    _ship_package(spark)
+    from urlmap_spark.operators.similarity import lsh_probe_topk_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return lsh_probe_topk_int(corpus, queries, k=10, n_planes=6,
+                              multiprobe=1, stride=29)
+
+
 def _q_embed_neardup(spark, sf_dir):
     from urlmap_spark.operators.dedup import embedding_neardup_pairs
 
@@ -1485,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed-ann-ivf-int": _q_embed_ann_ivf_int,
         "embed-ann-ivf-batch": _q_embed_ann_ivf_batch,
         "embed-ann-ivf-batch-int": _q_embed_ann_ivf_batch_int,
+        "embed-ann-lsh-batch-int": _q_embed_ann_lsh_batch_int,
         "embed-ann-lsh-int": _q_embed_ann_lsh_int,
         "embed-neardup": _q_embed_neardup,
         "caption-align-gate": _q_caption_align,
@@ -2316,6 +2335,55 @@ def oracle_sql() -> dict[str, str]:
                               round(list_cosine_similarity(qe.v, qs.qraw), 6) AS cosine
                        FROM qe JOIN assign ON qe.vec_id = assign.vec_id
                                JOIN probe p ON p.cell = assign.cell
+                               JOIN qs ON qs.query_id = p.query_id)
+            SELECT query_id, vec_id, cosine FROM (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rk
+              FROM scored) WHERE rk <= 10
+        """,
+        "embed-ann-lsh-batch-int": """
+            -- LSH batch index/probe split: queries = vec_id < 3, corpus
+            -- = the rest; planes = first 6 corpus vectors with
+            -- id % 29 = 3; ONE corpus bucketing serves every query;
+            -- per-query probes = own bucket + its 6 hamming-1 flips;
+            -- per-query top-10 by rounded cosine with id tie-break
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qs AS (SELECT vec_id AS query_id, v AS qraw,
+                          list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qq
+                   FROM e WHERE vec_id < 3),
+            qe AS (SELECT vec_id, v,
+                          list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+                   FROM e WHERE vec_id >= 3),
+            planes AS (SELECT qv AS qp,
+                              CAST(rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+                       FROM qe WHERE vec_id % 29 = 3 ORDER BY vec_id LIMIT 6),
+            vd AS (SELECT qe.vec_id, p.j,
+                     list_sum(list_transform(range(1, len(qe.qv) + 1),
+                       i -> qe.qv[CAST(i AS INTEGER)] * p.qp[CAST(i AS INTEGER)])) AS dot
+                   FROM qe CROSS JOIN planes p),
+            vb AS (SELECT vec_id,
+                          CAST(sum(CASE WHEN dot >= 0
+                                   THEN (CAST(1 AS BIGINT) << (5 - j)) ELSE 0 END) AS BIGINT) AS bkt
+                   FROM vd GROUP BY vec_id),
+            qd AS (SELECT qs.query_id, p.j,
+                     list_sum(list_transform(range(1, len(qs.qq) + 1),
+                       i -> qs.qq[CAST(i AS INTEGER)] * p.qp[CAST(i AS INTEGER)])) AS dot
+                   FROM qs CROSS JOIN planes p),
+            qb AS (SELECT query_id,
+                          CAST(sum(CASE WHEN dot >= 0
+                               THEN (CAST(1 AS BIGINT) << (5 - j)) ELSE 0 END) AS BIGINT) AS bkt
+                   FROM qd GROUP BY query_id),
+            probes AS (SELECT DISTINCT query_id, bkt FROM (
+                         SELECT query_id, bkt FROM qb
+                         UNION ALL
+                         SELECT qb.query_id,
+                                CAST(xor(qb.bkt, CAST(1 AS BIGINT) << f.f) AS BIGINT)
+                         FROM qb CROSS JOIN (SELECT unnest(range(6)) AS f) f)),
+            scored AS (SELECT p.query_id, qe.vec_id,
+                              round(list_cosine_similarity(qe.v, qs.qraw), 6) AS cosine
+                       FROM qe JOIN vb ON qe.vec_id = vb.vec_id
+                               JOIN probes p ON p.bkt = vb.bkt
                                JOIN qs ON qs.query_id = p.query_id)
             SELECT query_id, vec_id, cosine FROM (
               SELECT query_id, vec_id, cosine,

@@ -411,3 +411,32 @@ def test_hash_neardup_band_df_cap(spark):
     full = {(r["id_a"], r["id_b"])
             for r in D.hash_neardup_pairs(df, max_hamming=3).collect()}
     assert sum(1 for a, b in full if a >= 40 and b >= 40) == 66
+
+
+def test_minhash_lsh_max_band_df_cap(spark):
+    """The new max_band_df knob on minhash_lsh_pairs (plans/neardup.py
+    wiring): a corpus of identical docs makes every band bucket hold
+    all n rows — capped, candidate generation drops the hot buckets
+    and completes with zero pairs; uncapped on a small slice, the
+    planted pair set is unchanged by a cap larger than any DF."""
+    from urlmap_spark.operators.dedup import minhash_lsh_pairs
+
+    same = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated across the corpus")
+         for i in range(300)], "doc_id long, text string")
+    capped = minhash_lsh_pairs(same, num_hashes=32, bands=8,
+                               threshold=0.5, max_band_df=16).count()
+    assert capped == 0  # every bucket df=300 > 16 -> dropped
+
+    mixed = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different words nothing shared here at all")],
+        "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(mixed, num_hashes=32, bands=8,
+                               threshold=0.5).collect()}
+    loose = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(mixed, num_hashes=32, bands=8,
+                               threshold=0.5, max_band_df=100).collect()}
+    assert (0, 1) in exact and loose == exact

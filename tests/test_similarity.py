@@ -274,3 +274,56 @@ def test_ivf_train_matmul_threshold_equivalence(spark, emb):
     c_expr = S.ivf_train(rest, n_centroids=8, iters=3)
     c_mm = S.ivf_train(rest, n_centroids=8, iters=3, matmul_threshold=0)
     assert np.allclose(c_expr, c_mm)
+
+
+def test_lsh_probe_topk_int_matches_single_query(spark, emb):
+    """LSH batch split reproduces lsh_topk_int exactly for a one-query
+    table (same plane rule, same quantized signs, same probe set)."""
+    q = _query(emb)
+    rest = emb.filter(F.col("vec_id") != 0)
+    single = [(r["vec_id"], r["cosine"]) for r in
+              S.lsh_topk_int(rest, q, k=10, n_planes=5, multiprobe=1,
+                             stride=11).collect()]
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = [(r["vec_id"], r["cosine"]) for r in
+             S.lsh_probe_topk_int(rest, queries, k=10, n_planes=5,
+                                  multiprobe=1, stride=11).collect()]
+    assert batch == single
+
+
+def test_lsh_probe_topk_matches_per_query(spark, emb):
+    """Float production path: lsh_bucket (the build step) +
+    lsh_probe_topk over a query table returns, per query, the same
+    ranked rows as per-query lsh_topk with the SAME planes."""
+    import numpy as np
+
+    rest = emb.filter(F.col("vec_id") >= 3)
+    planes = S._hyperplanes(32, 6, seed=42)
+    bucketed = S.lsh_bucket(rest, dim=32, n_planes=6, seed=42)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = {}
+    for r in S.lsh_probe_topk(bucketed, queries, planes, k=10,
+                              multiprobe=1).collect():
+        batch.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for r in emb.filter("vec_id < 3").collect():
+        single = [(x["vec_id"], x["cosine"]) for x in
+                  S.lsh_topk(rest, r["embedding"], k=10, n_planes=6,
+                             seed=42, multiprobe=1).collect()]
+        assert batch.get(r["vec_id"], []) == single, \
+            f"query {r['vec_id']} diverged"
+
+
+def test_lsh_probe_topk_int_partition_invariance(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    rest = emb.filter(F.col("vec_id") >= 3)
+    a = [(r["query_id"], r["vec_id"], r["cosine"]) for r in
+         S.lsh_probe_topk_int(rest, queries, k=5, n_planes=5,
+                              multiprobe=1, stride=11).collect()]
+    b = [(r["query_id"], r["vec_id"], r["cosine"]) for r in
+         S.lsh_probe_topk_int(rest.repartition(13), queries.repartition(2),
+                              k=5, n_planes=5, multiprobe=1,
+                              stride=11).collect()]
+    assert a == b

@@ -510,6 +510,106 @@ def ivf_probe_topk_int(
             .orderBy("query_id", F.col("cosine").desc(), F.col(id_col)))
 
 
+def lsh_probe_topk(
+    bucketed: DataFrame, queries: DataFrame, planes: np.ndarray,
+    k: int = 10, multiprobe: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """LSH counterpart of ivf_probe_topk: serve a query TABLE against a
+    corpus whose signature bucket was built ONCE (lsh_bucket is the
+    build step — persist its output partitioned by bucket and every
+    probe is a bucket-pruned scan). Per-query probe set = the query's
+    own bucket plus its hamming-``multiprobe`` single-bit flips,
+    computed as native expressions over the query table (no driver
+    loop); candidates flow through one broadcast join + one
+    query_id-partitioned rank window. Same rounded-cosine / id
+    tie-break contract as brute_force_topk."""
+    n_planes = len(planes)
+    qv = F.col("_qv")
+    qbucket = lsh_bucket_expr(qv, planes)
+    probes = [qbucket]
+    if multiprobe > 0:
+        for i in range(n_planes):
+            probes.append(qbucket.bitwiseXOR(F.lit(1 << (n_planes - 1 - i))))
+    probe = (
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).cast("array<double>").alias("_qv"))
+        .withColumn(bucket_col,
+                    F.explode(F.array_distinct(F.array(*probes))))
+        .select("query_id", "_qv", bucket_col)
+    )
+    cand = bucketed.join(F.broadcast(probe), bucket_col)
+    scored = cand.select(
+        "query_id", F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"),
+                            F.col("_qv")), 6).alias("cosine"))
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= k).drop("_rk")
+            .orderBy("query_id", F.col("cosine").desc(), F.col(id_col)))
+
+
+def lsh_probe_topk_int(
+    emb: DataFrame, queries: DataFrame,
+    k: int = 10, n_planes: int = 6, multiprobe: int = 1, stride: int = 29,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "embedding",
+    scale: int = IVF_INT_SCALE,
+) -> DataFrame:
+    """Value-checkable twin of the LSH index/probe split: planes follow
+    lsh_topk_int's arithmetic rule (first n_planes corpus vectors with
+    id % stride == 3), signature bits come from integer-quantized dot
+    signs, and the per-query probe set (own bucket + hamming-1 flips)
+    is built with native expressions over the query table — one corpus
+    bucketing serves every query, every bucket and probe choice exactly
+    reproducible in ANSI SQL."""
+    planes = (
+        emb.filter(F.col(id_col) % stride == 3)
+        .orderBy(id_col).limit(n_planes)
+        .select(quantize_expr(F.col(vec_col), scale).alias("qp"))
+        .collect()
+    )
+    nb = len(planes)
+
+    def _bucket_of(qcol):
+        acc = F.lit(0)
+        for r in planes:
+            acc = acc * 2 + (_int_dot_expr(qcol, r["qp"]) >= 0).cast("int")
+        return acc
+
+    qbucket = _bucket_of(F.col("_qq"))
+    probes = [qbucket]
+    if multiprobe > 0:
+        for i in range(nb):
+            probes.append(qbucket.bitwiseXOR(F.lit(1 << (nb - 1 - i))))
+    probe = (
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).cast("array<double>").alias("_qraw"),
+                       quantize_expr(F.col(query_vec_col), scale).alias("_qq"))
+        .withColumn("_bkt", F.explode(F.array_distinct(F.array(*probes))))
+        .select("query_id", "_qraw", "_bkt")
+    )
+    qe = emb.withColumn("_qv", quantize_expr(F.col(vec_col), scale))
+    bucketed = qe.withColumn("_bkt", _bucket_of(F.col("_qv")))
+    cand = bucketed.join(F.broadcast(probe), "_bkt")
+    scored = cand.select(
+        "query_id", F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col).cast("array<double>"),
+                            F.col("_qraw")), 6).alias("cosine"))
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= k).drop("_rk")
+            .orderBy("query_id", F.col("cosine").desc(), F.col(id_col)))
+
+
 def caption_alignment(
     pairs: DataFrame, threshold: float = 0.3,
     id_col: str = "image_id", img_col: str = "image_emb",
