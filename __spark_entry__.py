@@ -1380,6 +1380,44 @@ def _q_crawl_reach(spark, sf_dir):
     return run.results.select("url", "depth", "status", "ok")
 
 
+def _host_links(spark, sf_dir):
+    """Deterministic link table for the host-graph queries: every event
+    is one (src_url, dst_url) edge over 23 `.test` hosts; the dst
+    residue mixes event_id mod 5 so hosts have up to five distinct
+    out-neighbors with varying edge weights (the same arithmetic the
+    oracle recomputes)."""
+    events = _t(spark, sf_dir, "events").select("event_id")
+    src = F.concat(F.lit("https://h"), F.col("event_id") % 23,
+                   F.lit(".test/p"), F.col("event_id") % 97)
+    dst = F.concat(
+        F.lit("https://h"),
+        (F.col("event_id") * 7 + (F.col("event_id") % 5) * 11 + 3) % 23,
+        F.lit(".test/q"), F.col("event_id") % 89,
+    )
+    return events.select(src.alias("src_url"), dst.alias("dst_url"))
+
+
+def _q_host_graph_edges(spark, sf_dir):
+    """Weighted host->host edge list from extracted links — the link
+    graph a crawl accumulates (operators/graph.py host_edges; hosts via
+    the url kernel's host_expr, reference: internal/url/url.go:42-63)."""
+    _ship_package(spark)
+    from urlmap_spark.operators.graph import host_edges
+
+    return host_edges(_host_links(spark, sf_dir))
+
+
+def _q_pagerank_hosts_int(spark, sf_dir):
+    """Fixed-point PageRank over the host graph (operators/graph.py
+    pagerank_int, 3 supersteps) — the crawl-prioritization authority
+    signal, int64 floor-division arithmetic so the shuffled per-node
+    sums hash-match the chained-CTE DuckDB oracle bit-for-bit."""
+    _ship_package(spark)
+    from urlmap_spark.operators.graph import host_edges, pagerank_int
+
+    return pagerank_int(host_edges(_host_links(spark, sf_dir)), iters=3)
+
+
 # --- driver-slot curation (VERDICT r4 "Next round" #1) -----------------------
 # The driver's CORRECTNESS file has held exactly 50 rows for two rounds
 # (r3/r4) against a 76-query registry, and the 50 it records are exactly
@@ -1525,7 +1563,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video-frame-sample": _q_video_frame_sample,
         "crawl-bfs": _q_crawl_bfs,
         "crawl-reach": _q_crawl_reach,
+        "host-graph-edges": _q_host_graph_edges,
+        "pagerank-hosts-int": _q_pagerank_hosts_int,
     })
+
+
+_HOST_EDGES_SQL = """
+  SELECT 'h' || (event_id % 23) || '.test' AS src_host,
+         'h' || ((event_id * 7 + (event_id % 5) * 11 + 3) % 23) || '.test'
+           AS dst_host,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Chained-CTE fixed-point PageRank matching operators/graph.py
+    pagerank_int (scale 10^9, damping 17/20): every per-edge term is
+    the identical int64 floor division (// here, `div` in Spark), so
+    the sums are order-independent and hash-match bit-for-bit."""
+    body = [
+        f"WITH e AS ({_HOST_EDGES_SQL}),",
+        "nodes AS (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e),",
+        "params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),",
+        "outw AS (SELECT src_host, CAST(sum(cnt) AS BIGINT) AS out_w"
+        " FROM e GROUP BY src_host),",
+        "r0 AS (SELECT host,"
+        " (SELECT 1000000000::BIGINT // n FROM params) AS rank_int FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        body.append(f""", r{i} AS (
+          SELECT nd.host,
+                 (SELECT (3::BIGINT * 1000000000) // (20::BIGINT * n) FROM params)
+                 + CAST(coalesce(sum((r.rank_int * 17::BIGINT * e.cnt)
+                                     // (20::BIGINT * o.out_w)), 0) AS BIGINT)
+                   AS rank_int
+          FROM nodes nd
+          LEFT JOIN e ON e.dst_host = nd.host
+          LEFT JOIN r{i - 1} r ON r.host = e.src_host
+          LEFT JOIN outw o ON o.src_host = e.src_host
+          GROUP BY nd.host)""")
+    body.append(f"SELECT host, rank_int FROM r{iters}")
+    return "\n".join(body)
 
 
 def _minhash_param_values() -> str:
@@ -2924,6 +3003,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE rn > 1) AS int) AS n_removed
             FROM ranked GROUP BY doc_id
         """,
+        "host-graph-edges": _HOST_EDGES_SQL,
+        "pagerank-hosts-int": _pagerank_sql(3),
         # no oracle (rows-only): dedup-minhash-lsh, dedup-simhash,
         # embed-ann-lsh, embed-ann-ivf, image-decode-meta — each has a
         # value-checked MECHANISM twin (dedup-minhash-arith /

@@ -1,0 +1,149 @@
+"""Host graph + PageRank (operators/graph.py).
+
+Float path is pinned against a driver-side numpy power iteration with
+the identical dangling rule; the int twin against a pure-Python
+fixed-point reference (the same arithmetic the DuckDB oracle runs).
+Partition invariance: the int twin must be bit-exact under re-layout;
+the float path approximately (its shuffled double sums may reorder).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from urlmap_spark.operators.graph import host_edges, pagerank, pagerank_int
+
+
+def _edges_df(spark, triples, parts=4):
+    return spark.createDataFrame(
+        [(s, d, int(c)) for s, d, c in triples],
+        "src_host string, dst_host string, cnt long",
+    ).repartition(parts)
+
+
+TRIPLES = [
+    ("a.test", "b.test", 3), ("a.test", "c.test", 1),
+    ("b.test", "c.test", 2), ("c.test", "a.test", 5),
+    ("d.test", "a.test", 1),              # d has no in-edges
+    ("e.test", "e.test", 2),              # self-loop
+    ("b.test", "sink.test", 1),           # sink.test is dangling
+]
+
+
+def _py_pagerank_int(triples, iters, dn=17, dd=20, scale=10**9):
+    nodes = sorted({s for s, _, _ in triples} | {d for _, d, _ in triples})
+    n = len(nodes)
+    out_w = {}
+    for s, _, c in triples:
+        out_w[s] = out_w.get(s, 0) + c
+    base = ((dd - dn) * scale) // (dd * n)
+    rank = {h: scale // n for h in nodes}
+    for _ in range(iters):
+        nxt = {h: base for h in nodes}
+        for s, d, c in triples:
+            nxt[d] += (rank[s] * dn * c) // (dd * out_w[s])
+        rank = nxt
+    return rank
+
+
+def _py_pagerank_float(triples, iters, d=0.85):
+    nodes = sorted({s for s, _, _ in triples} | {dd for _, dd, _ in triples})
+    n = len(nodes)
+    out_w = {}
+    for s, _, c in triples:
+        out_w[s] = out_w.get(s, 0) + c
+    rank = {h: 1.0 / n for h in nodes}
+    for _ in range(iters):
+        nxt = {h: (1.0 - d) / n for h in nodes}
+        for s, dst, c in triples:
+            nxt[dst] += d * rank[s] * c / out_w[s]
+        rank = nxt
+    return rank
+
+
+def test_host_edges_extracts_and_counts(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://A.test/p1", "https://b.test:8080/x"),
+            ("https://a.test/p2", "https://B.test/y"),
+            ("https://a.test/p3", "https://a.test/p1"),
+            ("notaurl", "https://b.test/z"),      # unparseable src dropped
+            ("https://c.test/q", "mailto:a@b"),   # no host dst dropped
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {(r.src_host, r.dst_host): r.cnt for r in host_edges(links).collect()}
+    # hosts lowercased, port stripped; (a.test -> b.test) collapses to cnt=2
+    assert got == {("a.test", "b.test"): 2, ("a.test", "a.test"): 1}
+
+
+def test_pagerank_int_matches_python_reference(spark):
+    want = _py_pagerank_int(TRIPLES, iters=3)
+    got = {r.host: r.rank_int for r in pagerank_int(_edges_df(spark, TRIPLES), iters=3).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_pagerank_int_partition_invariant(spark, parts):
+    want = _py_pagerank_int(TRIPLES, iters=4)
+    df = _edges_df(spark, TRIPLES, parts=parts)
+    got = {r.host: r.rank_int for r in pagerank_int(df, iters=4).collect()}
+    assert got == want
+
+
+def test_pagerank_float_matches_power_iteration(spark):
+    want = _py_pagerank_float(TRIPLES, iters=10)
+    got = {r.host: r.rank for r in pagerank(_edges_df(spark, TRIPLES), iters=10).collect()}
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], rel=1e-12, abs=1e-15)
+    # mass leaks through the dangling sink but never exceeds 1
+    assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_pagerank_int_tracks_float_ordering(spark):
+    """The fixed-point twin must induce the same host ranking as the
+    float path (the twin exists to value-check the mechanism)."""
+    df = _edges_df(spark, TRIPLES)
+    fl = {r.host: r.rank for r in pagerank(df, iters=3).collect()}
+    it = {r.host: r.rank_int for r in pagerank_int(df, iters=3).collect()}
+    assert sorted(fl, key=fl.get) == sorted(it, key=lambda h: (it[h], h))
+
+
+def test_pagerank_empty_and_zero_iters(spark):
+    empty = _edges_df(spark, [], parts=1)
+    assert pagerank(empty, iters=3).count() == 0
+    assert pagerank_int(empty, iters=3).count() == 0
+    r0 = {r.host: r.rank_int
+          for r in pagerank_int(_edges_df(spark, TRIPLES), iters=0).collect()}
+    n = len({s for s, _, _ in TRIPLES} | {d for _, d, _ in TRIPLES})
+    assert set(r0.values()) == {10**9 // n}
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = _edges_df(spark, TRIPLES)
+    with pytest.raises(ValueError):
+        pagerank(df, iters=-1)
+    with pytest.raises(ValueError):
+        pagerank_int(df, damping_num=20, damping_den=20)
+
+
+def test_pagerank_rank_feeds_priority(spark):
+    """Ranks broadcast back onto a frontier as a priority column — the
+    consumption path (politeness.priority_schedule sorts by any numeric
+    priority)."""
+    ranks = pagerank_int(_edges_df(spark, TRIPLES), iters=2)
+    frontier = spark.createDataFrame(
+        [("https://c.test/p1", "c.test"), ("https://sink.test/p2", "sink.test"),
+         ("https://nowhere.test/p3", "nowhere.test")],
+        "url string, host string",
+    )
+    pri = (
+        frontier.join(F.broadcast(ranks), frontier.host == ranks.host, "left")
+        .select("url", F.coalesce("rank_int", F.lit(0).cast("long")).alias("priority"))
+    )
+    rows = {r.url: r.priority for r in pri.collect()}
+    assert rows["https://nowhere.test/p3"] == 0
+    assert rows["https://c.test/p1"] > rows["https://sink.test/p2"] > 0
