@@ -147,3 +147,70 @@ def test_pagerank_rank_feeds_priority(spark):
     rows = {r.url: r.priority for r in pri.collect()}
     assert rows["https://nowhere.test/p3"] == 0
     assert rows["https://c.test/p1"] > rows["https://sink.test/p2"] > 0
+
+
+def test_priority_expr_from_ranks_lookup(spark):
+    from urlmap_spark.operators.graph import priority_expr_from_ranks
+
+    ranks = spark.createDataFrame(
+        [("a.test", 70), ("b.test", 30)], "host string, rank_int long")
+    expr = priority_expr_from_ranks(ranks)
+    fr = spark.createDataFrame(
+        [("https://A.test:8080/p1",), ("https://b.test/p2",), ("https://z.test/p3",)],
+        "url string")
+    got = {r.url: r.p for r in fr.select("url", F.expr(expr).alias("p")).collect()}
+    assert got["https://A.test:8080/p1"] == 70   # case + port normalized
+    assert got["https://b.test/p2"] == 30
+    assert got["https://z.test/p3"] is None      # unknown host -> NULL -> defers
+
+    empty = spark.createDataFrame([], "host string, rank_int long")
+    assert fr.select(F.expr(priority_expr_from_ranks(empty))).collect()[0][0] is None
+
+    with pytest.raises(ValueError, match="max_hosts"):
+        priority_expr_from_ranks(ranks, max_hosts=1)
+    bad = spark.createDataFrame([("a'b.test", 1)], "host string, rank_int long")
+    with pytest.raises(ValueError, match="not inlinable"):
+        priority_expr_from_ranks(bad)
+
+
+def test_pagerank_priority_drives_crawl(spark):
+    """End to end: crawl -> host link graph -> pagerank_int ->
+    priority_expr_from_ranks -> re-crawl under a budget. The prioritized
+    crawl reaches the same URL-seen set (delay never drop) and its
+    schedule visibly follows the ranks (opposite priorities produce
+    different round sequences)."""
+    from dataclasses import replace
+
+    from urlmap_spark.operators.extract import extract_outlinks
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+    from urlmap_spark.operators.graph import (
+        host_edges, pagerank_int, priority_expr_from_ranks)
+    from urlmap_spark.sources import corpus as C
+
+    pdf = C.corpus_pandas(seed=17, n_hosts=3, total_pages=24, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed_url = "https://h0.example-17.test/"
+    # open-web crawl (scope off): the frontier mixes hosts, so a host-rank
+    # priority has real choices to make under the global cap
+    base = CrawlConfig(max_depth=30, same_domain=False, same_path_prefix=False,
+                       global_cap=3, max_rounds=80)
+    fifo = crawl(spark, cdf, seed_url, base)
+
+    pages = fifo.results.where("ok").join(cdf.select("url", "caption"), "url")
+    links = extract_outlinks(pages).select(
+        F.col("url").alias("src_url"), F.col("outlink").alias("dst_url"))
+    ranks = pagerank_int(host_edges(links), iters=3)
+    assert ranks.count() > 1
+    expr = priority_expr_from_ranks(ranks)
+
+    hi = crawl(spark, cdf, seed_url, replace(base, priority_expr=expr))
+    lo = crawl(spark, cdf, seed_url, replace(base, priority_expr=f"-({expr})"))
+    want = {r["url"] for r in fifo.results.collect()}
+    assert {r["url"] for r in hi.results.collect()} == want
+    assert {r["url"] for r in lo.results.collect()} == want
+    # opposite priorities genuinely reorder the schedule
+    hi_seq = [m["crawled"] for m in hi.metrics]
+    lo_seq = [m["crawled"] for m in lo.metrics]
+    hi_hosts = [r["url"] for r in hi.results.orderBy("order").collect()]
+    lo_hosts = [r["url"] for r in lo.results.orderBy("order").collect()]
+    assert hi_seq != lo_seq or hi_hosts != lo_hosts

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from urlmap_spark.functions.urlkernel import host_expr
 
-__all__ = ["host_edges", "pagerank", "pagerank_int"]
+__all__ = ["host_edges", "pagerank", "pagerank_int", "priority_expr_from_ranks"]
 
 
 def host_edges(
@@ -194,3 +194,52 @@ def pagerank_int(
         if i < iters - 1:  # the returned frame keeps its superstep plan
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+# SQL twin of urlkernel.host_expr (try_parse_url HOST, port stripped,
+# lowercased) — priority_expr is a string evaluated over the frontier,
+# so the host extraction must ride inside it.
+_HOST_SQL = r"lower(regexp_replace(try_parse_url(trim(url), 'HOST'), ':[0-9]+$', ''))"
+
+
+def priority_expr_from_ranks(
+    ranks: DataFrame,
+    rank_col: str = "rank_int",
+    max_hosts: int = 50_000,
+) -> str:
+    """Bridge a (host, rank) table into a ``CrawlConfig.priority_expr``
+    string: a literal-map lookup keyed by the frontier URL's host, so a
+    PageRank (or any authority score) drives which frontier rows win
+    the politeness budget each round.
+
+    ``element_at(map(...), host)`` yields NULL for unknown hosts, and
+    the scheduler ranks NULL priority LOWEST (plans/crawl.py
+    priority_expr contract) — so hosts outside the rank table defer
+    behind ranked ones, never ahead. Crawl semantics stay
+    delay-never-drop: the URL-seen set is priority-invariant.
+
+    Scale bound: the rank table is collected and inlined as literals —
+    the same bounded-literal pattern as the classifier's literal
+    weights array (classify.py). Host-granularity ranks are small by
+    design; past ``max_hosts`` (or if a hostname needs escaping) this
+    raises, and the scale path is a broadcast (host, priority) join
+    attached to the frontier before the crawl (see MODELS.md's
+    literal-vs-table discussion for the classifier — same trade).
+    """
+    rows = ranks.select(F.col("host"), F.col(rank_col)).collect()
+    if len(rows) > max_hosts:
+        raise ValueError(
+            f"rank table has {len(rows)} hosts > max_hosts={max_hosts}; "
+            "join ranks onto the frontier as a broadcast priority table "
+            "instead of inlining literals")
+    if not rows:
+        return "CAST(NULL AS BIGINT)"
+    entries = []
+    for r in rows:
+        h = r["host"]
+        v = r[rank_col]
+        if h is None or "'" in h or "\\" in h:
+            raise ValueError(f"hostname not inlinable as a SQL literal: {h!r}")
+        entries.append(f"'{h}'")
+        entries.append(f"{int(v)}L" if isinstance(v, int) else repr(float(v)))
+    return f"element_at(map({', '.join(entries)}), {_HOST_SQL})"
