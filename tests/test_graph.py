@@ -214,3 +214,27 @@ def test_pagerank_priority_drives_crawl(spark):
     hi_hosts = [r["url"] for r in hi.results.orderBy("order").collect()]
     lo_hosts = [r["url"] for r in lo.results.orderBy("order").collect()]
     assert hi_seq != lo_seq or hi_hosts != lo_hosts
+
+
+@pytest.mark.parametrize("fn_iters", [("int", 3), ("float", 4)])
+def test_pagerank_string_fallback_parity(spark, fn_iters):
+    """The collision-fallback path (key_encoding='string') must produce
+    results identical to the id-encoded default — same grouping, same
+    arithmetic, only the shuffle key representation differs."""
+    kind, iters = fn_iters
+    df = _edges_df(spark, TRIPLES)
+    if kind == "int":
+        a = {r.host: r.rank_int
+             for r in pagerank_int(df, iters=iters).collect()}
+        b = {r.host: r.rank_int
+             for r in pagerank_int(df, iters=iters, key_encoding="string").collect()}
+        assert a == b
+    else:
+        a = {r.host: r.rank for r in pagerank(df, iters=iters).collect()}
+        b = {r.host: r.rank
+             for r in pagerank(df, iters=iters, key_encoding="string").collect()}
+        assert set(a) == set(b)
+        for h in a:
+            assert a[h] == pytest.approx(b[h], rel=1e-12)
+    with pytest.raises(ValueError, match="key_encoding"):
+        pagerank_int(df, key_encoding="bogus")

@@ -88,7 +88,7 @@ def _nodes(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _prep(edges: DataFrame, src: str, dst: str):
+def _prep(edges: DataFrame, src: str, dst: str, key_encoding: str = "auto"):
     """Shared superstep prep: the materialized (host, _id) node table
     and the edge frame re-keyed to int64 node ids.
 
@@ -98,15 +98,20 @@ def _prep(edges: DataFrame, src: str, dst: str):
     end. The id map is verified bijective on the BOUNDED node table
     (one count): on the astronomically-unlikely collision the frame
     falls back to string keys, trading speed for exactness, never
-    silently merging hosts. Returns (nodes, n, edge_frame, use_ids);
-    edge_frame carries (_src, _dst) as ids (or strings on fallback).
-    """
+    silently merging hosts. ``key_encoding="string"`` forces that
+    fallback path (it exists so the fallback is testable — results
+    must be identical either way). Returns (nodes, n, edge_frame,
+    use_ids); edge_frame carries (_src, _dst) as ids (or strings on
+    fallback)."""
+    if key_encoding not in ("auto", "string"):
+        raise ValueError("key_encoding must be 'auto' or 'string'")
     nodes = (_nodes(edges, src, dst)
              .withColumn("_id", F.xxhash64("host")).localCheckpoint())
     n = nodes.count()
     if n == 0:
         return nodes, 0, None, False
-    use_ids = nodes.select("_id").distinct().count() == n
+    use_ids = (key_encoding == "auto"
+               and nodes.select("_id").distinct().count() == n)
     if use_ids:
         e = edges.select(F.xxhash64(F.col(src)).alias("_src"),
                          F.xxhash64(F.col(dst)).alias("_dst"), "*")
@@ -138,6 +143,7 @@ def pagerank(
     src: str = "src_host",
     dst: str = "dst_host",
     weight: str = "cnt",
+    key_encoding: str = "auto",
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` -> ``(host, rank)`` (double).
 
@@ -150,7 +156,7 @@ def pagerank(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    nodes, n, e, use_ids = _prep(edges, src, dst)
+    nodes, n, e, use_ids = _prep(edges, src, dst, key_encoding)
     if n == 0:
         return nodes.select("host").withColumn("rank", F.lit(0.0))
     niter = _iter_nodes(nodes, use_ids)
@@ -186,6 +192,7 @@ def pagerank_int(
     src: str = "src_host",
     dst: str = "dst_host",
     weight: str = "cnt",
+    key_encoding: str = "auto",
 ) -> DataFrame:
     """Fixed-point PageRank twin -> ``(host, rank_int)`` (bigint),
     value-checkable against an ANSI-SQL oracle bit-for-bit.
@@ -207,7 +214,7 @@ def pagerank_int(
         raise ValueError("iters must be >= 0")
     if not (0 < damping_num < damping_den):
         raise ValueError("need 0 < damping_num < damping_den")
-    nodes, n, e, use_ids = _prep(edges, src, dst)
+    nodes, n, e, use_ids = _prep(edges, src, dst, key_encoding)
     if n == 0:
         return nodes.select("host").withColumn("rank_int", F.lit(0).cast("long"))
     niter = _iter_nodes(nodes, use_ids)
