@@ -253,3 +253,46 @@ def test_robots_parse_gate_fuzzed(spark, lines, paths):
     want = {f"https://{host}{p}":
             _py_robots_allowed(lines, "urlmap/1.0", p) for p in paths}
     assert got == want
+
+
+UNI_HREFS = [
+    "/café/menü",                       # latin-1-range path
+    "/日本語/ページ",                     # CJK
+    "/a/%C3%A9",                        # pre-encoded UTF-8 stays encoded
+    "https://münchen.test/straße",      # unencoded IDN-ish host
+    "https://xn--mnchen-3ya.test/x",    # punycode host
+    "../π/σ?τ=υ",                       # dot-segment + greek
+    "/emoji/🚀",                        # astral-plane codepoint
+    "mailto:héllo@tëst.test",           # skip-scheme with unicode
+    "/combining/é vs é",               # NFC vs NFD (NOT unified) + space
+    "?q=значение",                      # cyrillic query
+    "#фрагмент",                        # fragment-only (dropped)
+    "//пример.test/path",               # protocol-relative unicode host
+    "/mixed/ascii✓tail",
+    "HTTPS://ÜPPER.test/Path",          # uppercase scheme + unicode host
+]
+
+
+def test_unicode_hrefs_three_way_parity(spark):
+    """The hypothesis grammar above is ASCII-only by construction
+    (codepoints 32-126); this pins the non-ASCII universe: hybrid
+    native path == exact Arrow UDF == pure-Python kernel on IDN hosts,
+    CJK/greek/cyrillic paths, astral emoji, NFC-vs-NFD forms and
+    pre-percent-encoded bytes. (Found nothing when first probed —
+    kept as a regression fence for the native fast-path router.)"""
+    bases = ["https://edge.test/a/b?x=1", "https://deep.sub.fz.test/"]
+    rows = [{"url": b, "caption": " ".join(f'href="{h}"' for h in UNI_HREFS)}
+            for b in bases]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "caption"]))
+    hybrid = sorted((r["url"], r["pos"], r["outlink"]) for r in
+                    extract_outlinks(df).select("url", "pos", "outlink").collect())
+    pure = sorted((r["url"], r["pos"], r["outlink"]) for r in
+                  extract_outlinks(df, native_fast_path=False)
+                  .select("url", "pos", "outlink").collect())
+    assert hybrid == pure
+    exp = sorted((b, pos, urlcore.canonical_outlink(b, h))
+                 for b in bases for pos, h in enumerate(UNI_HREFS)
+                 if urlcore.canonical_outlink(b, h) is not None)
+    assert hybrid == exp
+    # the skip-scheme and fragment-only hrefs vanish, everything else lands
+    assert len(hybrid) == 2 * (len(UNI_HREFS) - 2)
