@@ -364,3 +364,39 @@ def test_df_seeds_preround_interrupt_resume(spark, tmp_path):
     got = [(r["url"], r["depth"], r["order"])
            for r in resumed.results.orderBy("order").collect()]
     assert got == expect
+
+
+def test_dirty_corpus_dedup_opt_in(spark):
+    """corpus_unique=False first-wins-dedups duplicate corpus url rows
+    ONCE up front (min struct over the non-url columns), so results
+    carry one row per (url, order); the default contract (unique urls)
+    is unchanged. Found by a probe: a dirty corpus otherwise emits the
+    same url twice with one order value (both 200/ok and 500/failed)."""
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+
+    rows = [
+        ("https://n.test/p0", 'href="/p1" href="/p2"', 200),
+        ("https://n.test/p1", None, 200),                 # NULL caption: fine
+        ("https://n.test/p2", 'href="/p3"', 200),         # dup url ...
+        ("https://n.test/p2", 'href="/p4"', 500),         # ... conflicting row
+        ("https://n.test/p3", "", 200),
+    ]
+    corpus = spark.createDataFrame(rows, "url string, caption string, status int")
+
+    dirty = crawl(spark, corpus, "https://n.test/p0",
+                  CrawlConfig(max_depth=5, same_path_prefix=False))
+    d = [(r["url"], r["order"]) for r in dirty.results.collect()]
+    assert len(d) != len(set(d))  # the documented hazard, reproduced
+
+    clean = crawl(spark, corpus, "https://n.test/p0",
+                  CrawlConfig(max_depth=5, same_path_prefix=False,
+                              corpus_unique=False))
+    got = sorted((r["url"], r["depth"], r["order"], r["status"], r["ok"])
+                 for r in clean.results.collect())
+    # min(struct(caption, status)) picks the 'href="/p3"'/200 row for p2
+    assert got == [
+        ("https://n.test/p0", 0, 0, 200, True),
+        ("https://n.test/p1", 1, 1, 200, True),
+        ("https://n.test/p2", 1, 2, 200, True),
+        ("https://n.test/p3", 2, 3, 200, True),
+    ]

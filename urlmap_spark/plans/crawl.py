@@ -107,6 +107,17 @@ class CrawlConfig:
     max_rounds: int = 10_000
     frontier_partitions: int | None = None
     extract_partitions: int | None = None    # UDF-stage fan-out (default: cores)
+    corpus_unique: bool = True               # contract: corpus has ONE row per
+                                             # url (a web cannot return two
+                                             # responses for one GET). A dirty
+                                             # corpus would otherwise emit
+                                             # duplicate result rows sharing
+                                             # one `order` value — set False
+                                             # and the crawl first-wins-dedups
+                                             # the corpus ONCE up front
+                                             # (min(struct(cols)) by url — one
+                                             # corpus shuffle, deterministic,
+                                             # rounds unchanged)
     verify_payload: bool = False             # decode fetched bytes + phash check
                                              # (input_hint per-row invariant)
     bloom_seen: bool = False                 # partitioned bloom prefilter in
@@ -299,6 +310,16 @@ def crawl(
         if dispatch:
             web_cols.append("rendered_caption")
         web = corpus.select(*web_cols)
+        if not cfg.corpus_unique:
+            # deterministic first-wins over duplicate corpus rows: ONE
+            # up-front shuffle of the (narrow) corpus projection; every
+            # round's fetch-join then sees the one-row-per-url contract
+            others = [c for c in web.columns if c != "url"]
+            web = (
+                web.groupBy("url")
+                .agg(F.min(F.struct(*others)).alias("_r"))
+                .select("url", *[F.col(f"_r.{c}").alias(c) for c in others])
+            )
 
         metrics: list[dict] = []
         results_parts: list[DataFrame] = []
