@@ -5,45 +5,41 @@ URLs (reference: FIFO enqueue order, internal/crawler/crawler.go:252).
 A plain ``row_number().over(Window.orderBy(...))`` funnels the whole
 round through ONE task; at 10^10-frontier scale that is the bottleneck.
 
-``with_global_order`` uses the classic two-pass pattern, with one twist
-that makes it DETERMINISTIC at scale:
+``with_global_order`` is the classic count-offset pattern over ONE
+materialized range partitioning:
   1. range-repartition + sort-within-partitions on the order keys and
-     collect, per partition, its row count AND its max key (tiny driver
-     collect, two scalars per task);
-  2. re-bucket rows with a PURE ROW FUNCTION — bucket(k) = number of
-     pass-1 partition-max boundaries lexicographically below k — then
-     per-bucket row_number + broadcast cumulative offsets.
+     MATERIALIZE that layout (eager localCheckpoint);
+  2. collect per-partition row counts (one int per task) and emit
+     ``order`` = broadcast cumulative offset of the row's partition +
+     its position within the partition (monotonically_increasing_id
+     decomposes into exactly those two fields) — a ZERO-shuffle
+     projection over the checkpointed layout.
 
-The twist matters: pass 1's RangePartitioner SAMPLES its boundaries,
-and a second ``repartitionByRange`` execution re-samples them — two
+Determinism: the RangePartitioner SAMPLES its boundaries, and two
 executions of the "same" range shuffle can place a boundary a few rows
 apart once partitions hold more rows than the sampler reads (observed
-at the 10^7-URL operating point as rank shifts between identical
-crawls; invisible at test scale where the sampler sees every row).
-Deriving pass 2's bucketing from pass 1's own measured boundaries
-removes the cross-execution dependency: rows in pass-1 partition i are
-exactly the keys in (max_{i-1}, max_i], so bucket(k) reproduces the
-pass-1 assignment bit-for-bit, the offsets line up by construction,
-and the emitted rank is the exact global sort rank — independent of
-where the sampled boundaries fell, the input layout, or the
-parallelism. (Bonus: pass 2 is a plain hash shuffle on the bucket id —
-no second sampling job.)
+at the 10^7-URL operating point in the pre-r6 two-pass variant).
+Materializing the layout once removes the cross-execution dependency
+entirely: counts and row positions are read from the SAME stored
+partitions, and because range partitions are contiguous key intervals
+sorted within, offset+position is the exact global sort rank — the
+same value regardless of where the sampled boundaries fell, the input
+layout, or the parallelism (pinned by
+tests/test_order.py::test_with_global_order_exact_rank_at_sampling_scale).
 
-Total cost: one range shuffle + one hash shuffle, no global funnel.
+Total cost: one range shuffle + one in-partition sort + the checkpoint
+write, then a free projection — the r6 optimization round removed the
+old second (hash) shuffle, the window sort and the separate stats
+re-shuffle (guide §2.4: two operations keyed the same way share one
+exchange; here the ordering pass IS the round's materialization).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _lex_gt(keys: list, vals: tuple):
-    """Column predicate: (k0, k1, ...) lexicographically > vals."""
-    c0, v0 = keys[0], F.lit(vals[0])
-    if len(keys) == 1:
-        return c0 > v0
-    return (c0 > v0) | ((c0 == v0) & _lex_gt(keys[1:], vals[1:]))
+_MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | row-in-partition
 
 
 def with_global_order(
@@ -55,10 +51,16 @@ def with_global_order(
 ) -> DataFrame:
     """Adds ``order_col`` = start, start+1, ... following sort_cols order.
 
-    Sort keys must be distinct per row (ties spanning a pass-1 boundary
-    would otherwise make bucket assignment ambiguous) and NON-NULL: the
-    bucket expression compares keys lexicographically, so a NULL key
-    would null-propagate into a silent NULL order — instead, a runtime
+    EAGER: materializes the range-partitioned layout (localCheckpoint)
+    so counts and row positions are read from one stored partitioning —
+    the returned frame is checkpoint-backed (its consumers re-read
+    stored partitions instead of re-running the input plan, which is
+    exactly what the crawl's round loop needs from its per-round dedup
+    materialization).
+
+    Sort keys must be distinct per row (equal keys spanning a range
+    boundary would otherwise make the rank layout-dependent) and
+    NON-NULL: a NULL key would silently sort first — instead, a runtime
     guard raises on the first null-keyed row when the order column
     materializes (ADVICE r4). The crawl guarantees both because
     (parent_order, pos) identifies one href slot.
@@ -66,44 +68,45 @@ def with_global_order(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in sort_cols]
-    ranged = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    # Pass 1: per-partition count + max key (two scalars per partition)
-    stats = sorted(
-        with_pid.groupBy("_pid").agg(
-            F.count("*").alias("cnt"),
-            F.max(F.struct(*keys)).alias("mx")).collect(),
-        key=lambda r: r["_pid"],
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=True)
     )
-    if not stats:  # empty round — nothing to order
-        return df.withColumn(order_col, F.lit(None).cast("long")), start
-    offsets, acc = [], start
-    for r in stats:
-        offsets.append(acc)
-        acc += r["cnt"]
-    # Pass 2: deterministic re-bucketing by pass 1's own boundaries.
-    # bucket(k) = #(partition-max boundaries < k); for a row of pass-1
-    # partition i that is exactly i, so offsets align bit-for-bit.
-    bucket = F.lit(0)
-    for r in stats[:-1]:
-        bucket = bucket + _lex_gt(keys, tuple(r["mx"])).cast("int")
-    # contract guard: a NULL sort key would null-propagate through
-    # _lex_gt into a silent NULL bucket/order — raise loudly instead
+    # one int per stored partition; absent pids (empty partitions) count 0
+    cnt_rows = (
+        ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("cnt")).collect()
+    )
+    if not cnt_rows:  # empty round — nothing to order
+        return ranged.withColumn(order_col, F.lit(None).cast("long")), start
+    counts = {int(r["_pid"]): int(r["cnt"]) for r in cnt_rows}
+    offsets, acc = {}, start
+    for pid in range(max(counts) + 1):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    # order = offset(partition) + row-position-in-partition, both taken
+    # from the SAME materialized layout. monotonically_increasing_id on a
+    # checkpointed RDD is (partition_index << 33) + iteration position —
+    # and iteration position over sorted stored partitions IS the local
+    # sort rank, so this projection is the exact global rank with zero
+    # additional shuffles.
+    mid = F.monotonically_increasing_id()
+    ordv = (
+        F.element_at(
+            F.array(*[F.lit(offsets[p]) for p in range(max(counts) + 1)]),
+            F.shiftrightunsigned(mid, 33).cast("int") + 1)
+        + mid.bitwiseAND(F.lit(_MID_MASK))
+    ).cast("long")
+    # contract guard: a NULL sort key violates the operator contract —
+    # raise loudly instead of emitting a layout-dependent rank
     allnn = F.lit(True)
     for k in keys:
         allnn = allnn & k.isNotNull()
-    bucket = F.when(allnn, bucket).otherwise(F.raise_error(F.lit(
+    ordv = F.when(allnn, ordv).otherwise(F.raise_error(F.lit(
         "with_global_order: NULL sort key "
         f"(sort_cols={sort_cols!r} must be non-null)")))
-    w = Window.partitionBy("_bkt").orderBy(*keys)
-    offmap = F.create_map(
-        *[x for i, off in enumerate(offsets) for x in (F.lit(i), F.lit(off))])
-    return (
-        df.withColumn("_bkt", bucket)
-        .withColumn(order_col,
-                    (F.row_number().over(w) - 1 + offmap[F.col("_bkt")]).cast("long"))
-        .drop("_bkt")
-    ), acc
+    return ranged.withColumn(order_col, ordv), acc
 
 
 def first_wins(df: DataFrame, key: str, tie_cols: list[str]) -> DataFrame:

@@ -664,25 +664,31 @@ def crawl(
             tick("fetch_ckpt")
 
             # --- outlink extraction on OK pages only (crawler.go:644).
-            # Explicit repartition before the expensive canonicalization: AQE
-            # coalesces post-shuffle partitions by BYTES and would funnel the
-            # (cheap-in-bytes, expensive-in-CPU) stage into a handful of tasks.
             # The exploded hrefs are materialized once per round: it (a) runs
             # the findall a single time instead of once per canonicalization
             # branch, and (b) keeps the posexplode in its own codegen stage —
             # fused with the canonicalization when-tree the Generate's consume
             # method exceeds Janino's 64 KB limit and every task pays compile-
             # retry + interpreted fallback.
+            # Parallelism rides the fetch checkpoint's OWN partitioning
+            # (the SMJ against the url-partitioned corpus fixes it at the
+            # join width, comfortably >= cores) — the pre-r6 blanket
+            # repartition paid a full shuffle of every exploded href PLUS
+            # the sort-before-repartition local sort (guide §2.5) per
+            # round for parallelism the checkpoint already had. The
+            # repartition remains only for the narrow case where the
+            # fetch materialization came out under-partitioned (tiny
+            # corpora whose join AQE-coalesced below the core count).
             n_extract = cfg.extract_partitions or spark.sparkContext.defaultParallelism
             exploded = (
                 explode_hrefs(
                     final.filter(F.col("ok")).select("url", "depth", "order", "caption")
                 )
-                # drop junk BEFORE the shuffle: skip-scheme/empty hrefs and
-                # the no-href posexplode_outer null rows would be dropped by
-                # the UDF branch anyway — filtering here (one JVM-side regex)
-                # keeps them out of the repartition exchange, the checkpoint
-                # write and the Arrow lane (~8% of hrefs on the Zipf corpus)
+                # drop junk BEFORE the checkpoint: skip-scheme/empty hrefs
+                # and the no-href posexplode_outer null rows would be
+                # dropped by the UDF branch anyway — filtering here (one
+                # JVM-side regex) keeps them out of the checkpoint write
+                # and the Arrow lane (~8% of hrefs on the Zipf corpus)
                 .filter(F.col("href").isNotNull()
                         & ~should_skip_expr(F.col("href")))
                 # materialize the href category here: the two canonicalization
@@ -690,14 +696,15 @@ def crawl(
                 # of having the category CASE substituted into each of them
                 # (base_col: a dotted-path base routes to the exact UDF)
                 .withColumn("_cat", href_category_expr("url"))
-                .repartition(n_extract)
-                # eager checkpoint, NOT exchange-reuse: the two branch
-                # consumers do share the repartition exchange, but through
-                # it they'd re-trigger the parent fetch-checkpoint scan and
-                # regex findall per consumer — measured 2.6x slower without
-                # this materialization (8-core VP crawl 48s -> 125s)
-                .localCheckpoint(eager=True)
             )
+            if fetched.rdd.getNumPartitions() < n_extract:
+                exploded = exploded.repartition(n_extract)
+            # eager checkpoint, NOT exchange-reuse: the two branch
+            # consumers would otherwise re-trigger the parent fetch-
+            # checkpoint scan and regex findall per consumer — measured
+            # 2.6x slower without this materialization (8-core VP crawl
+            # 48s -> 125s)
+            exploded = exploded.localCheckpoint(eager=True)
             tick("explode_ckpt")
 
             # --- scope vs the normalized seed(s) (crawler.go:233-249) is
@@ -739,8 +746,7 @@ def crawl(
                 # exchange. Catalyst can't make this call itself — seen is
                 # a union of checkpointed RDDs with no size stats.
                 cand = cand.join(F.broadcast(seen), "url", "left_anti")
-                new = first_wins(cand, "url", ["parent_order", "pos"]) \
-                    .localCheckpoint(eager=True)
+                new = first_wins(cand, "url", ["parent_order", "pos"])
             elif cfg.disk_seen:
                 # 10^10 exact path: seen stays in its persisted _ub bucket
                 # layout and is read task-side — the only exchange ships
@@ -752,23 +758,28 @@ def crawl(
                     seeds_table_dirs + catalog.table_paths("seen_delta"),
                     cfg.disk_seen_buckets, filters, bloom_cfg,
                     extra_seen=seeds_seen_small,
-                ).localCheckpoint(eager=True)
+                )
             else:
                 deduped = first_wins(cand, "url", ["parent_order", "pos"])
-                new = _fmod.seen_anti_join(deduped, seen, filters, bloom_cfg) \
-                    .localCheckpoint(eager=True)
-            tick("extract_dedup_ckpt")
+                new = _fmod.seen_anti_join(deduped, seen, filters, bloom_cfg)
 
-            # --- assign global crawl order (FIFO enqueue order); the ordering
-            # pass's partition counts double as the new-URL count (free)
+            # --- assign global crawl order (FIFO enqueue order). ONE fused
+            # materialization: with_global_order eagerly checkpoints the
+            # dedup/anti-join chain in its range-partitioned layout, so the
+            # round pays a single job for {dedup, anti-join, order} where
+            # the pre-r6 loop paid {dedup+anti checkpoint, stats re-shuffle,
+            # window hash-shuffle + sort} (guide §2.4 — removed shuffles
+            # measured in OPTIMIZATION_r06.md). The ordering pass's
+            # partition counts double as the new-URL count (free).
             prev_counter = order_counter
-            new_frontier, order_counter = with_global_order(
+            new, order_counter = with_global_order(
                 new, ["parent_order", "pos"], order_col="order", start=order_counter,
                 num_partitions=cfg.frontier_partitions,
             )
+            tick("extract_dedup_ckpt")
             tick("order_counts")
             n_new = order_counter - prev_counter
-            new_frontier = new_frontier.select("url", "depth", "order")
+            new_frontier = new.select("url", "depth", "order")
             if has_attempt:
                 new_frontier = new_frontier.withColumn("attempt", F.lit(1))
                 if n_retry:
