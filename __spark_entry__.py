@@ -241,8 +241,12 @@ def _q_path_prefix_filter(spark, sf_dir):
 
 def _q_extract_explode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
+    # slice before the explode: pos < 5 keeps only the first five tokens,
+    # so exploding the full split just to filter generated ~20x the rows
+    # (slice(arr,1,5) yields exactly split()[0:5] — identical output)
     return (
-        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        docs.select("doc_id",
+                    F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token"))
         .filter(F.col("pos") < 5)
     )
 
@@ -1094,8 +1098,11 @@ def _q_caption_align(spark, sf_dir):
     b = emb.select((F.col("vec_id") - F.lit(1)).alias("vec_id"),
                    F.col("embedding").alias("caption_emb"))
     pairs = a.join(b, "vec_id")
-    return caption_alignment(pairs, threshold=0.2, id_col="vec_id") \
-        .orderBy("vec_id")
+    # lazy checkpoint before the orderBy: the range exchange's sampling
+    # job otherwise re-runs the join + cosine scoring a second time
+    gated = caption_alignment(pairs, threshold=0.2, id_col="vec_id") \
+        .localCheckpoint(eager=False)
+    return gated.orderBy("vec_id")
 
 
 def _q_text_langid(spark, sf_dir):
@@ -1136,8 +1143,14 @@ def _q_image_decode_meta(spark, sf_dir):
     from urlmap_spark.sources.corpus import corpus_spark
 
     corpus = corpus_spark(spark, seed=7, n_hosts=2, total_pages=40, with_bytes=True)
-    return decode_meta(corpus).withColumn("mean_lum", F.round("mean_lum", 4)) \
-        .orderBy("image_id")
+    # lazy checkpoint between the Python pipeline and the orderBy: the
+    # range exchange's boundary-sampling job otherwise re-executes the
+    # whole generate+decode mapInPandas chain a second time (guide §7.2
+    # — duplicated subtrees; the sample materializes the checkpoint, the
+    # sort reads it). Recomputed from inputs on every invocation.
+    out = decode_meta(corpus).withColumn("mean_lum", F.round("mean_lum", 4)) \
+        .localCheckpoint(eager=False)
+    return out.orderBy("image_id")
 
 
 def _q_doc_winnow_arith(spark, sf_dir):

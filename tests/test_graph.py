@@ -109,7 +109,11 @@ def test_pagerank_int_tracks_float_ordering(spark):
     df = _edges_df(spark, TRIPLES)
     fl = {r.host: r.rank for r in pagerank(df, iters=3).collect()}
     it = {r.host: r.rank_int for r in pagerank_int(df, iters=3).collect()}
-    assert sorted(fl, key=fl.get) == sorted(it, key=lambda h: (it[h], h))
+    # identical deterministic tie-break on BOTH sides (ADVICE r5 #3):
+    # equal ranks would otherwise compare dict-insertion order against
+    # a (rank, host) sort and flake
+    assert (sorted(fl, key=lambda h: (fl[h], h))
+            == sorted(it, key=lambda h: (it[h], h)))
 
 
 def test_pagerank_empty_and_zero_iters(spark):

@@ -32,12 +32,18 @@ def tokens_expr(text: Column) -> Column:
 
 
 def token_count_expr(text: Column) -> Column:
-    return F.size(tokens_expr(text))
+    """Count of non-empty whitespace-separated tokens. regexp_count of
+    non-whitespace RUNS equals size(filter(split(\\s+), != '')) for every
+    string (Java \\S is the exact complement of the split's \\s), without
+    materializing the token array just to count it (guide §4.2 —
+    measured on the sf1.0 token-count query in OPTIMIZATION_r06.md)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def bpe_token_count_expr(text: Column) -> Column:
-    """Sub-word-ish token count via the regex tokenizer."""
-    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+    """Sub-word-ish token count via the regex tokenizer (regexp_count:
+    same value as size(regexp_extract_all(...)), no match-array alloc)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
 
 
 def marker_hits_expr(text: Column, markers: list[str]) -> Column:
@@ -48,33 +54,88 @@ def marker_hits_expr(text: Column, markers: list[str]) -> Column:
 
 def langid_expr(text: Column) -> Column:
     """argmax over marker-hit counts; 'und' when no marker fires.
-    Deterministic tie-break: en > de > es (greatest-first order below)."""
-    scores = {lang: marker_hits_expr(text, ms) for lang, ms in LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    # reversed so that earlier languages win ties
-    for lang in reversed(list(scores)):
-        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
-    return out
+    Deterministic tie-break: en > de > es.
+
+    ONE aggregate pass: higher-order functions are interpreted and get
+    no common-subexpression elimination, so the pre-r6 form (one
+    split+filter per language, plus the argmax CASE referencing each
+    score twice) re-tokenized every document ~10x. Here the lower+split
+    runs once and a single fold counts all languages at once — the
+    three counters are packed into one 64-bit accumulator (21 bits
+    each; marker sets are disjoint, and a document would need 2^21
+    tokens of one marker to overflow — far beyond any bounded-length
+    corpus row). The finish lambda unpacks and applies the identical
+    argmax/tie-break, so emitted labels are unchanged (oracle-checked).
+    """
+    langs = list(LANG_MARKERS)
+    arrs = [F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in langs]
+    shifts = [1 << (21 * (len(langs) - 1 - i)) for i in range(len(langs))]
+
+    def step(acc, t):
+        e = F.lit(0).cast("long")
+        for arr, sh in zip(arrs, shifts):
+            e = F.when(F.array_contains(arr, t), F.lit(sh).cast("long")).otherwise(e)
+        return acc + e
+
+    def finish(acc):
+        scores = [
+            F.shiftrightunsigned(acc, 21 * (len(langs) - 1 - i)).bitwiseAND(F.lit((1 << 21) - 1))
+            for i in range(len(langs))
+        ]
+        best = F.greatest(*scores)
+        out = F.lit("und")
+        for lang, sc in reversed(list(zip(langs, scores))):
+            out = F.when((best > 0) & (sc == best), F.lit(lang)).otherwise(out)
+        return out
+
+    agg = F.aggregate(F.split(F.lower(text), r"\s+"),
+                      F.lit(0).cast("long"), step, finish)
+    # null text: the pre-r6 CASE chain fell through to 'und' (null
+    # scores never satisfy a WHEN) — aggregate propagates null instead,
+    # so restore the contract here
+    return F.coalesce(agg, F.lit("und"))
 
 
 def quality_score_expr(text: Column) -> Column:
     """Length/stopword/punctuation composite in [0,1] — the standard
     cheap quality gate for web-scale corpus filtering. Expressible in
-    ANSI SQL (oracle-checked)."""
-    n_chars = F.length(text)
-    n_tokens = token_count_expr(text)
+    ANSI SQL (oracle-checked).
+
+    Token and stopword counts come from ONE aggregate pass over a
+    single lower+split (token count is case/whitespace-invariant, so
+    counting on the lowered split is exact), packed into one long
+    (n_tokens<<21 | n_stop). The arithmetic in the finish lambda is
+    term-for-term identical to the pre-r6 form — same operand types,
+    same operation order — so the rounded double is bit-identical
+    (driver hash-checked)."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(tokens_expr(F.lower(text)), lambda t: F.array_contains(stop_arr, t)))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
-    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
-    punct_penalty = F.when(n_chars > 0, F.least(n_punct * F.lit(5.0) / n_chars, F.lit(1.0))).otherwise(F.lit(0.0))
-    return F.round(
-        F.lit(0.5) * len_score + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
-        - F.lit(0.3) * punct_penalty + F.lit(0.3),
-        6,
-    )
+    n_chars = F.length(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+
+    def step(acc, t):
+        return acc + F.when(
+            t == "", F.lit(0).cast("long")
+        ).otherwise(
+            F.when(F.array_contains(stop_arr, t),
+                   F.lit((1 << 21) + 1).cast("long"))
+            .otherwise(F.lit(1 << 21).cast("long")))
+
+    def finish(acc):
+        n_tokens = F.shiftrightunsigned(acc, 21)
+        n_stop = acc.bitwiseAND(F.lit((1 << 21) - 1))
+        len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+        stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+        punct_penalty = F.when(
+            n_chars > 0, F.least(n_punct * F.lit(5.0) / n_chars, F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+        return F.round(
+            F.lit(0.5) * len_score + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+            - F.lit(0.3) * punct_penalty + F.lit(0.3),
+            6,
+        )
+
+    return F.aggregate(F.split(F.lower(text), r"\s+"),
+                       F.lit(0).cast("long"), step, finish)
 
 
 def fingerprint_expr(text: Column, bits: int = 64) -> Column:

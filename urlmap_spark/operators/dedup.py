@@ -79,7 +79,15 @@ def ngram_jaccard_pairs(
     Jaccard of surviving candidates is computed EXACTLY from the full
     shingle arrays (array_intersect over the pair join) — the cap
     bounds the join, it never skews a reported score."""
-    sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh"))
+    # lazy checkpoint: (id, shingle-array) is referenced by up to five
+    # subtrees (explode x2 self-join sides, the DF/rare aggregation, and
+    # the sh_a/sh_b verify joins) and Catalyst plans each as its own
+    # scan+split+transform — the split/shingle work ran up to 5x per
+    # document (guide §7.2, duplicated subtrees). Materializing it once
+    # (on the first job that needs it; recomputed from inputs on every
+    # invocation) makes every reference a stored-partition read.
+    sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")) \
+        .localCheckpoint(eager=False)
     ex = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is None:
         # exact path: |A∩B| from the group count, |A∪B| = |A|+|B|-|A∩B|
@@ -291,20 +299,35 @@ def minhash_lsh_pairs(
             .agg(F.count("*").alias("_df")) \
             .filter(F.col("_df") <= max_band_df).drop("_df")
         banded = banded.join(cool, ["band", "bucket"])
+    # merge-join the self-join on purpose: both sides then need the SAME
+    # exchange and AQE reuses it, so the signature stage (shingle hashing
+    # + the mapInPandas min-reduction) runs ONCE — the planner's
+    # broadcast pick built each side as its own subtree and paid the
+    # Python stage twice (guide §2.4/§7.2; plan diff in
+    # OPTIMIZATION_r06.md). At corpus scale a broadcast of the whole
+    # banded table was never the right shape anyway.
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"),
+        banded.alias("a").hint("merge")
+        .join(banded.alias("b").hint("merge"),
               (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
               & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # estimate BEFORE the pair dedup: est is a pure function of the pair,
+    # so filtering first and deduping (id_a, id_b, est) scalars turns the
+    # old SortAggregate-over-signature-arrays into a map-side-combinable
+    # hash aggregate over three scalar columns (guide §2.3 — aggregate
+    # before you shuffle, and never shuffle the 64-long arrays)
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / F.lit(float(num_hashes)), 6)
-    return cand.withColumn("est_jaccard", est).filter(F.col("est_jaccard") >= threshold) \
-               .select("id_a", "id_b", "est_jaccard")
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -428,17 +451,21 @@ def hash_neardup_pairs(
             .agg(F.count("*").alias("_df")) \
             .filter(F.col("_df") <= max_band_df).drop("_df")
         banded = banded.join(cool, ["band", "key"])
+    # merge-join the self-join: identical exchanges on both sides are
+    # reused (AQE), so the hash column's producer (for simhash_pairs a
+    # mapInPandas stage) runs once instead of once per side; hamming is
+    # a pure function of the pair, so computing it BEFORE the dedup
+    # keeps the aggregate on three scalars (map-side combinable) and
+    # drops over-distance candidates before they shuffle (guide §2.3)
     pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"),
+        banded.alias("a").hint("merge")
+        .join(banded.alias("b").hint("merge"),
               (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
               & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+                F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
 
@@ -447,10 +474,23 @@ def hash_neardup_pairs(
 
 
 def cosine_expr(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    """dot/(|a|*|b|) in ONE fold: the three sums accumulate in a single
+    pass over one zipped array (the pre-r6 form allocated three
+    intermediate arrays and walked the vectors three times — higher-
+    order functions are interpreted, so those passes never fused;
+    guide §4.2). Each sum adds the same terms in the same order as the
+    old per-sum folds, so the double result is bit-identical
+    (oracle-hash-checked via embed-cosine-topk / caption-align-gate)."""
+    z = F.zip_with(a, b, lambda x, y: F.struct(x.alias("x"), y.alias("y")))
+    return F.aggregate(
+        z,
+        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("na"),
+                 F.lit(0.0).alias("nb")),
+        lambda s, v: F.struct(
+            (s["d"] + v["x"] * v["y"]).alias("d"),
+            (s["na"] + v["x"] * v["x"]).alias("na"),
+            (s["nb"] + v["y"] * v["y"]).alias("nb")),
+        lambda s: s["d"] / (F.sqrt(s["na"]) * F.sqrt(s["nb"])))
 
 
 def embedding_neardup_pairs(

@@ -179,7 +179,13 @@ def pagerank(
         ranks = niter.join(F.broadcast(contrib), "nid", "left").select(
             "nid", (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"))
         if i < iters - 1:  # the returned frame keeps its superstep plan
-            ranks = ranks.localCheckpoint()
+            # LAZY checkpoint (r5-10 fixed-cost attribution): the plan is
+            # truncated either way, but eager forced one driver-blocking
+            # materialization job per superstep at build time — lazy lets
+            # the next superstep's broadcast build double as the
+            # materialization, removing ~1 job of scheduling fixed cost
+            # per iteration (measured in OPTIMIZATION_r06.md)
+            ranks = ranks.localCheckpoint(eager=False)
     return _decode(ranks, nodes, use_ids, "rank")
 
 
@@ -241,7 +247,9 @@ def pagerank_int(
             (F.lit(base).cast("long")
              + F.coalesce(F.col("_in"), F.lit(0).cast("long"))).alias("rank_int"))
         if i < iters - 1:  # the returned frame keeps its superstep plan
-            ranks = ranks.localCheckpoint()
+            # lazy for the same per-superstep fixed-cost reason as the
+            # float path above
+            ranks = ranks.localCheckpoint(eager=False)
     return _decode(ranks, nodes, use_ids, "rank_int")
 
 
@@ -289,6 +297,11 @@ def priority_expr_from_ranks(
         v = r[rank_col]
         if h is None or "'" in h or "\\" in h:
             raise ValueError(f"hostname not inlinable as a SQL literal: {h!r}")
+        if v is None or not isinstance(v, (int, float)):
+            # a NULL/odd-typed rank would otherwise surface as a bare
+            # TypeError from int(None) or be silently repr'd into SQL
+            raise ValueError(
+                f"rank for host {h!r} is not a non-null number: {v!r}")
         entries.append(f"'{h}'")
         entries.append(f"{int(v)}L" if isinstance(v, int) else repr(float(v)))
     return f"element_at(map({', '.join(entries)}), {_HOST_SQL})"

@@ -45,19 +45,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 def lsh_bucket_expr(vec_col, planes: np.ndarray):
     """Random-hyperplane signature: bit i = sign(dot(v, plane_i)).
-    Pure native expressions — one aggregate per plane over the array."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec_col, _vec_lit(p), lambda x, y: x * y),
-                F.lit(0.0), lambda s, v: s + v,
-            ) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in planes
-    ]
-    acc = F.lit(0)
-    for b in bits:
-        acc = acc * 2 + b
-    return acc
+    Pure native expressions — ONE fold over the vector accumulating
+    every plane's dot at once (position carried in the accumulator,
+    plane coefficients fetched by element_at on constant arrays). The
+    pre-r6 form ran one zip_with allocation + one aggregate pass PER
+    plane; per-plane sums here add the same terms in the same order,
+    so buckets are unchanged. A null vector folds to bucket 0 exactly
+    as the old per-bit when/otherwise chain did."""
+    n = len(planes)
+    plits = [_vec_lit(p) for p in planes]
+
+    def step(s, x):
+        i = s["i"]
+        return F.struct(
+            (i + 1).alias("i"),
+            *[(s[f"d{j}"] + x * F.element_at(plits[j], i + 1)).alias(f"d{j}")
+              for j in range(n)])
+
+    def finish(s):
+        acc = F.lit(0)
+        for j in range(n):
+            acc = acc * 2 + F.when(s[f"d{j}"] >= 0, F.lit(1)).otherwise(F.lit(0))
+        return acc
+
+    agg = F.aggregate(
+        vec_col,
+        F.struct(F.lit(0).alias("i"),
+                 *[F.lit(0.0).alias(f"d{j}") for j in range(n)]),
+        step, finish)
+    return F.coalesce(agg, F.lit(0))
 
 
 def lsh_bucket(

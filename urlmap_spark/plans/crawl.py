@@ -313,12 +313,16 @@ def crawl(
         if not cfg.corpus_unique:
             # deterministic first-wins over duplicate corpus rows: ONE
             # up-front shuffle of the (narrow) corpus projection; every
-            # round's fetch-join then sees the one-row-per-url contract
+            # round's fetch-join then sees the one-row-per-url contract.
+            # Materialized eagerly — without the checkpoint, the groupBy
+            # re-executed inside every round's fetch-join action, i.e.
+            # O(rounds) corpus shuffles, not one (ADVICE r5 #1).
             others = [c for c in web.columns if c != "url"]
             web = (
                 web.groupBy("url")
                 .agg(F.min(F.struct(*others)).alias("_r"))
                 .select("url", *[F.col(f"_r.{c}").alias(c) for c in others])
+                .localCheckpoint(eager=True)
             )
 
         metrics: list[dict] = []
