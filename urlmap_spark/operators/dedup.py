@@ -474,23 +474,38 @@ def hash_neardup_pairs(
 
 
 def cosine_expr(a, b):
-    """dot/(|a|*|b|) in ONE fold: the three sums accumulate in a single
-    pass over one zipped array (the pre-r6 form allocated three
-    intermediate arrays and walked the vectors three times — higher-
-    order functions are interpreted, so those passes never fused;
-    guide §4.2). Each sum adds the same terms in the same order as the
-    old per-sum folds, so the double result is bit-identical
-    (oracle-hash-checked via embed-cosine-topk / caption-align-gate)."""
-    z = F.zip_with(a, b, lambda x, y: F.struct(x.alias("x"), y.alias("y")))
-    return F.aggregate(
-        z,
-        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("na"),
-                 F.lit(0.0).alias("nb")),
-        lambda s, v: F.struct(
-            (s["d"] + v["x"] * v["y"]).alias("d"),
-            (s["na"] + v["x"] * v["x"]).alias("na"),
-            (s["nb"] + v["y"] * v["y"]).alias("nb")),
-        lambda s: s["d"] / (F.sqrt(s["na"]) * F.sqrt(s["nb"])))
+    """dot/(|a|*|b|), three plain folds. A single-fold rewrite with a
+    struct accumulator was A/B'd in the r6 optimization round and
+    measured ~1.8x SLOWER (per-element struct allocation in the
+    interpreted HOF evaluator outweighs the two saved array passes;
+    the fully-unrolled getItem form was worse still) — so the simple
+    per-sum folds stay. When one side is a driver-known constant
+    vector use cosine_query_expr below instead: it skips that side's
+    norm pass entirely."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def cosine_query_expr(a, query_vec) -> "F.Column":
+    """cosine(a, query_vec) where query_vec is a driver-side constant:
+    the query's norm is replicated in Python with the SAME left-to-right
+    IEEE-double fold the JVM expression would run (0.0 + x*x per
+    element, then sqrt), so the result is bit-identical to
+    cosine_expr(a, lit(query_vec)) while evaluating one array pass
+    fewer per row (~20% on the brute-force scoring stage, measured in
+    OPTIMIZATION_r06.md)."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    ql = F.array(*[F.lit(x) for x in q])
+    dot = F.aggregate(F.zip_with(a, ql, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    acc = 0.0
+    for x in q:
+        acc = acc + x * x
+    return dot / (na * F.lit(math.sqrt(acc)))
 
 
 def embedding_neardup_pairs(
