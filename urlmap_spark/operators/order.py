@@ -68,6 +68,15 @@ def with_global_order(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in sort_cols]
+    # LAZY checkpoint of the input: the range exchange's boundary
+    # sampling job executes the child plan once BEFORE the shuffle pass
+    # runs it again — for the crawl that child is the whole
+    # canonicalize + anti-join + dedup chain, i.e. the round's most
+    # expensive subtree evaluated twice (guide §7.2 duplicated work).
+    # Marking it for lazy checkpoint makes the sampling pass double as
+    # the materialization: the shuffle (and any later consumer) reads
+    # stored partitions instead of re-running the chain.
+    df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(num_partitions, *keys)
         .sortWithinPartitions(*keys)
