@@ -18,17 +18,18 @@ neither may funnel the corpus through one task.
   floor(exclusive-prefix-sum(tokens) / budget) in a caller-fixed total
   order — every shard's token sum lands in [budget - straddle, budget +
   straddle) where straddle < its first/last doc, which is what shard
-  assembly needs. The prefix sum uses the same two-pass range-partition
-  pattern as order.with_global_order (per-partition sums -> tiny driver
-  collect -> broadcast offsets): one range shuffle, NO partitionless
-  window, nothing O(corpus) on the driver or in one task.
+  assembly needs. The prefix sum uses the materialized-range-layout
+  pattern of order.with_global_order (one stored range shuffle ->
+  per-partition sums, a tiny driver collect -> broadcast offsets ->
+  zero-shuffle per-partition cumsum): NO partitionless window, nothing
+  O(corpus) on the driver or in one task.
 """
 
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -117,20 +118,38 @@ def with_running_total(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Adds total_col = EXCLUSIVE prefix sum of value_col in sort_cols
-    order (first row gets 0). Two-pass: range-repartition + local sort,
-    per-partition sums to the driver (one long per task), broadcast
-    offsets + per-partition running sum — the with_global_order pattern
-    with sum instead of count. Sort keys must be distinct per row (ties
-    spanning a range boundary would make the prefix partition-dependent).
-    A null value counts as 0 (it would otherwise poison every downstream
-    prefix — and sum() over an all-null partition is null, not 0, which
-    would crash the offset fold).
-    """
+    order (first row gets 0). One materialized range layout (the r6
+    with_global_order pattern): range-repartition + local sort, EAGER
+    localCheckpoint, per-partition sums to the driver (one long per
+    task, read from the STORED partitions), then a zero-shuffle
+    per-partition cumulative sum (Arrow batches, numpy int64 cumsum)
+    seeded with the broadcast offsets. Sort keys must be distinct per
+    row (ties spanning a range boundary would make the prefix
+    partition-dependent). A null value counts as 0 (it would otherwise
+    poison every downstream prefix).
+
+    Why materialize: the pre-r6 form ran the range shuffle lineage
+    TWICE (once under the stats collect, once under the consumer's
+    action) — double-executing the child plan (for pack_shards, the
+    token count over every document) AND re-sampling the range
+    boundaries between the two runs, which past the sampler's
+    reservoir could place a boundary differently and mis-seed the
+    offsets. It also paid a second full shuffle + sort for the
+    window's hashpartitioning(_pid). Stored partitions make the sums,
+    the cumsum and every consumer read ONE layout: exact, single
+    execution, no extra exchange (measured in OPTIMIZATION_r06.md)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in sort_cols]
     val = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
-    ranged = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
+    ranged = (
+        # lazy ckpt: the range exchange's boundary-sampling job doubles
+        # as the child's materialization (order.py, same rationale)
+        df.localCheckpoint(eager=False)
+        .repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=True)
+    )
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     sums = {
         r["_pid"]: r["s"]
@@ -143,23 +162,31 @@ def with_running_total(
     offsets, acc = {}, 0
     for pid in sorted(sums):
         offsets[pid] = acc
-        acc += int(sums[pid])
-    offmap = F.create_map(
-        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
-    )
-    # per-partition window only (partitionBy _pid) — no global funnel;
-    # inclusive running sum minus the row's own value = exclusive
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*keys)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = F.sum(val).over(w) - val
-    return (
-        with_pid.withColumn(
-            total_col, (run + offmap[F.col("_pid")]).cast("long")
-        ).drop("_pid")
-    )
+        acc += int(sums[pid] or 0)
+
+    out_schema = with_pid.select(
+        "*", F.lit(0).cast("long").alias(total_col)).drop("_pid").schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _cum(batches):
+        import numpy as np
+
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = offsets[int(pdf["_pid"].iloc[0])]
+            v = pdf[value_col].fillna(0).to_numpy(dtype="int64", na_value=0)
+            c = np.cumsum(v)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[total_col] = carry + c - v  # exclusive prefix
+            carry += int(c[-1]) if len(c) else 0
+            yield pdf[out_cols]
+
+    # zero-shuffle projection over the stored layout: each task is one
+    # stored partition, batches arrive in stored (sorted) row order
+    return with_pid.mapInPandas(_cum, out_schema)
 
 
 def pack_shards(
