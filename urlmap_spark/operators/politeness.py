@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _cap_phase1(sched: DataFrame, global_cap: int, sort_cols,
+                cap_salts: int) -> tuple[DataFrame, DataFrame]:
+    """Global-cap phase 1: rank within a hash salt; any row in the true
+    global top-cap is also in its own salt's top-cap, so the per-salt
+    survivors are a superset of the answer. Split out so the salted
+    WindowGroupLimit plan shape stays independently assertable
+    (tools/dump_plans.py) now that phase 2's ordering pass materializes
+    its input — the final schedule plan shows the stored layout, not
+    this window chain. Returns (survivors with _gs/_g1, losers)."""
+    g = sched.withColumn("_gs", F.pmod(F.xxhash64("url"), F.lit(cap_salts)))
+    w1 = Window.partitionBy("_gs").orderBy(*sort_cols)
+    g = g.withColumn("_g1", F.row_number().over(w1))
+    surv = g.filter(F.col("_g1") <= global_cap)
+    losers = g.filter(F.col("_g1") > global_cap).drop("_g1", "_gs")
+    return surv, losers
+
+
 def schedule_frontier(
     frontier: DataFrame,
     host_quota: DataFrame | None = None,
@@ -107,11 +124,7 @@ def schedule_frontier(
         # Overflow rows re-queue (delays, never drops).
         from .order import with_global_order
 
-        g = sched.withColumn("_gs", F.pmod(F.xxhash64("url"), F.lit(cap_salts)))
-        w1 = Window.partitionBy("_gs").orderBy(*sort_cols)
-        g = g.withColumn("_g1", F.row_number().over(w1))
-        surv = g.filter(F.col("_g1") <= global_cap)
-        losers = g.filter(F.col("_g1") > global_cap).drop("_g1", "_gs")
+        surv, losers = _cap_phase1(sched, global_cap, sort_cols, cap_salts)
         # order values are globally unique (with_global_order assigns
         # them), satisfying the distinct-sort-key requirement
         surv, _ = with_global_order(surv, sort_names, order_col="_g2", start=1)
