@@ -129,7 +129,7 @@ class CrawlConfig:
                                              # backs the seen probe (north_rule
                                              # names both; operators/cuckoo.py
                                              # adds deletion support)
-    broadcast_seen_max_urls: int = 4_000_000  # while |seen| (known EXACTLY
+    broadcast_seen_max_urls: int = 600_000   # while |seen| (known EXACTLY
                                              # driver-side: it equals
                                              # order_counter) is under this,
                                              # the seen anti-join BROADCASTS
@@ -139,10 +139,18 @@ class CrawlConfig:
                                              # crawl point at seen URLs, so
                                              # they drop map-side and never
                                              # enter a shuffle. Past the
-                                             # limit (the 10^10 regime) the
-                                             # plan reverts to dedup ->
-                                             # bloom-cogroup/shuffled anti-
-                                             # join. 0 disables. Exact either
+                                             # limit the plan flips to dedup
+                                             # -> shuffled-hash anti-join
+                                             # (or bloom-cogroup/disk probe):
+                                             # the broadcast's serial driver
+                                             # build + per-executor ship
+                                             # grows with |seen| (measured
+                                             # ~1.5s/round at 2.4M urls, r6
+                                             # ABAB — the shuffled path's
+                                             # fully-parallel build wins
+                                             # from ~600k up, and only more
+                                             # so on a real cluster).
+                                             # 0 disables. Exact either
                                              # way: an anti-join filters
                                              # whole url-groups, so it
                                              # commutes with per-url min.
@@ -765,7 +773,30 @@ def crawl(
                 )
             else:
                 deduped = first_wins(cand, "url", ["parent_order", "pos"])
-                new = _fmod.seen_anti_join(deduped, seen, filters, bloom_cfg)
+                if filters is None:
+                    # shuffled-HASH anti, not sort-merge: both sides are
+                    # exchanged either way, but SHJ skips both sorts and
+                    # builds each partition's seen hash table in parallel
+                    # (url keys are unique, so build partitions are
+                    # uniform — no skew risk; r6 ABAB on the bench crawl:
+                    # late-round walls 6.1-7.1s -> 4.2-4.3s)
+                    new = deduped.join(seen.hint("shuffle_hash"), "url",
+                                       "left_anti")
+                else:
+                    new = _fmod.seen_anti_join(deduped, seen, filters, bloom_cfg)
+
+            if _DEBUG and 0 < order_counter <= cfg.broadcast_seen_max_urls:
+                # sub-phase attribution of the extract_dedup span (debug
+                # only — each noop re-runs the chain prefix, so the deltas
+                # are the incremental costs of canonicalize / anti-join /
+                # first-wins; the real path below is untouched)
+                links.write.format("noop").mode("overwrite").save()
+                tick("dbg_canonicalize")
+                # on this path `cand` already carries the broadcast anti-join
+                cand.write.format("noop").mode("overwrite").save()
+                tick("dbg_plus_anti")
+                new.write.format("noop").mode("overwrite").save()
+                tick("dbg_plus_dedup")
 
             # --- assign global crawl order (FIFO enqueue order). ONE fused
             # materialization: with_global_order eagerly checkpoints the
