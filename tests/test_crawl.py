@@ -400,3 +400,23 @@ def test_dirty_corpus_dedup_opt_in(spark):
         ("https://n.test/p2", 1, 2, 200, True),
         ("https://n.test/p3", 2, 3, 200, True),
     ]
+
+
+def test_slow_branch_kept_when_cat9_href_present(spark):
+    """The crawl skips the exact-UDF canonicalization branch only when
+    the round's observed category-9 count is zero. A href with an inner
+    dot segment ('a/./b' — no native category) must still resolve via
+    the UDF branch and be crawled."""
+    from urlmap_spark.plans.crawl import CrawlConfig, crawl
+
+    rows = [
+        ("https://s.test/a/b", 'href="a/./c" href="/plain"', 200),
+        ("https://s.test/a/a/c", "", 200),   # a/./b resolves here
+        ("https://s.test/plain", "", 200),
+    ]
+    corpus = spark.createDataFrame(rows, "url string, caption string, status int")
+    run = crawl(spark, corpus, "https://s.test/a/b",
+                CrawlConfig(max_depth=2, same_domain=False))
+    got = sorted((r["url"], r["depth"], r["ok"]) for r in run.results.collect())
+    assert ("https://s.test/a/a/c", 1, True) in got
+    assert ("https://s.test/plain", 1, True) in got

@@ -195,7 +195,8 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
                        native_fast_path: bool = True,
                        seed_scopes: list[tuple[str, str]] | None = None,
                        scope_prefix: bool = True,
-                       page_host_scope: bool = False) -> DataFrame:
+                       page_host_scope: bool = False,
+                       slow_branch: bool = True) -> DataFrame:
     """exploded(base, ..., pos, href) -> rows with a canonical ``outlink``
     column; hrefs the reference drops simply vanish.
 
@@ -205,7 +206,14 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
     it as a filter above the branch union instead lets Catalyst clone the
     condition into both branches with the full canonicalization tree
     substituted in — a 20,000-line codegen method that exceeds Janino's
-    64 KB limit."""
+    64 KB limit.
+
+    slow_branch=False: the caller has PROVED the input holds zero
+    category-9 hrefs (e.g. the crawl observes the count while the
+    exploded frame materializes), so the exact-UDF branch — a second
+    full scan of the input plus an ArrowEvalPython stage that would
+    produce zero rows — is omitted outright. Unioning an empty branch
+    is the identity, so results are unchanged by construction."""
     if not native_fast_path:
         out = (
             exploded
@@ -301,6 +309,8 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
         if page_host_scope:
             native = native.filter(n_host == _light_host(base))
     native = native.drop("_cat", "_sh", "_bp", "_dir", "_pdir", "_pq", "_nofrag", "_p", "_q")
+    if not slow_branch:
+        return native
     slow = (
         tagged.filter(c == 9).drop("_cat")
         .withColumn("outlink", canonical_outlink_udf(base, href))

@@ -715,8 +715,19 @@ def crawl(
             # consumers would otherwise re-trigger the parent fetch-
             # checkpoint scan and regex findall per consumer — measured
             # 2.6x slower without this materialization (8-core VP crawl
-            # 48s -> 125s)
-            exploded = exploded.localCheckpoint(eager=True)
+            # 48s -> 125s). The slow-branch row count rides the
+            # checkpoint job (Observation — zero extra jobs): when this
+            # round has NO category-9 hrefs, canonicalize_links omits
+            # the exact-UDF branch entirely — a second full scan of the
+            # stored hrefs plus an ArrowEvalPython stage that would
+            # yield zero rows (common case: well-formed corpora emit
+            # only native-category hrefs)
+            eobs = Observation()
+            exploded = exploded.observe(
+                eobs, F.sum(F.when(F.col("_cat") == 9, 1).otherwise(0))
+                .alias("n_slow")
+            ).localCheckpoint(eager=True)
+            n_slow = int(eobs.get["n_slow"] or 0)
             tick("explode_ckpt")
 
             # --- scope vs the normalized seed(s) (crawler.go:233-249) is
@@ -736,6 +747,7 @@ def crawl(
             links = canonicalize_links(
                 exploded, seed_scopes=seed_scopes,
                 scope_prefix=cfg.same_path_prefix,
+                slow_branch=n_slow > 0,
             ).select(
                 F.col("outlink"),
                 F.col("order").alias("parent_order"),
