@@ -420,3 +420,23 @@ def test_slow_branch_kept_when_cat9_href_present(spark):
     got = sorted((r["url"], r["depth"], r["ok"]) for r in run.results.collect())
     assert ("https://s.test/a/a/c", 1, True) in got
     assert ("https://s.test/plain", 1, True) in got
+
+
+def test_packed_first_wins_equals_struct_fallback(spark, monkeypatch):
+    """The packed-long first-wins (default when the round's tie-key
+    maxima fit the 38/14/11-bit layout) must yield the identical crawl
+    as the generic struct fallback."""
+    import urlmap_spark.plans.crawl as PC
+
+    pdf = C.corpus_pandas(seed=11, n_hosts=4, total_pages=60, with_bytes=False)
+    cdf = spark.createDataFrame(pdf)
+    seed_url = "https://h0.example-11.test/"
+    packed = crawl(spark, cdf, seed_url,
+                   CrawlConfig(max_depth=4, same_path_prefix=False))
+    monkeypatch.setattr(PC, "first_wins_packed_bounds",
+                        lambda *a, **kw: False)
+    fallback = crawl(spark, cdf, seed_url,
+                     CrawlConfig(max_depth=4, same_path_prefix=False))
+    a = [(r["url"], r["depth"], r["order"]) for r in packed.results.orderBy("order").collect()]
+    b = [(r["url"], r["depth"], r["order"]) for r in fallback.results.orderBy("order").collect()]
+    assert a == b and len(a) > 10

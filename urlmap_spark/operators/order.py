@@ -129,3 +129,49 @@ def first_wins(df: DataFrame, key: str, tie_cols: list[str]) -> DataFrame:
     return (
         packed.groupBy(key).agg(F.min("_s").alias("_s")).select(key, "_s.*")
     )
+
+
+# bit layout of the packed crawl tie key: parent_order | pos | depth.
+# parent_order gets 38 bits (2.7e11 — past the 10^10-frontier design
+# point), pos 14, depth 11; 63 bits total keeps the long positive so
+# numeric min == lexicographic (parent_order, pos, depth) min.
+_PK_PO_BITS, _PK_POS_BITS, _PK_D_BITS = 38, 14, 11
+
+
+def first_wins_packed_bounds(max_parent_order: int, max_pos: int,
+                             max_depth: int) -> bool:
+    """True when this round's driver-known maxima fit the packed layout
+    (they essentially always do; the caller falls back to the generic
+    struct form otherwise — results identical either way)."""
+    return (0 <= max_parent_order < (1 << _PK_PO_BITS)
+            and 0 <= max_pos < (1 << _PK_POS_BITS)
+            and 0 <= max_depth < (1 << _PK_D_BITS))
+
+
+def first_wins_packed(df: DataFrame) -> DataFrame:
+    """first_wins specialized for the crawl candidate schema
+    (url, parent_order, pos, depth), all non-null and bounds-checked by
+    the caller via first_wins_packed_bounds: the three tie columns pack
+    into ONE long, so the map-side partial min compares 8-byte longs
+    instead of 3-field structs and the dedup exchange ships 8 bytes of
+    tie key per row instead of ~24 (guide §2.3 — narrower types).
+    Measured on the bench round shape (8M candidate rows, 2.5M distinct
+    urls): 1.88 -> 1.27 s min, bit-equal output (r6 session-3 A/B).
+    (parent_order, pos) identifies one href slot, so depth rides the
+    low bits without affecting which row wins."""
+    p = df.select("url", (
+        (F.col("parent_order") * F.lit(1 << (_PK_POS_BITS + _PK_D_BITS)))
+        + (F.col("pos").cast("long") * F.lit(1 << _PK_D_BITS))
+        + F.col("depth").cast("long")).alias("_p"))
+    return (
+        p.groupBy("url").agg(F.min("_p").alias("_p"))
+        .select(
+            "url",
+            F.shiftrightunsigned("_p", _PK_POS_BITS + _PK_D_BITS)
+            .alias("parent_order"),
+            F.shiftrightunsigned("_p", _PK_D_BITS)
+            .bitwiseAND(F.lit((1 << _PK_POS_BITS) - 1)).cast("int").alias("pos"),
+            F.col("_p").bitwiseAND(F.lit((1 << _PK_D_BITS) - 1))
+            .cast("int").alias("depth"),
+        )
+    )

@@ -46,7 +46,12 @@ from ..functions.urlkernel import (
     status_ok_expr,
 )
 from ..operators.extract import canonicalize_links, explode_hrefs, href_category_expr
-from ..operators.order import first_wins, with_global_order
+from ..operators.order import (
+    first_wins,
+    first_wins_packed,
+    first_wins_packed_bounds,
+    with_global_order,
+)
 from ..operators.politeness import schedule_frontier
 from ..operators.robots import robots_gate
 from ..operators.seen import BloomConfig, build_filters, seen_anti_join
@@ -724,10 +729,13 @@ def crawl(
             # only native-category hrefs)
             eobs = Observation()
             exploded = exploded.observe(
-                eobs, F.sum(F.when(F.col("_cat") == 9, 1).otherwise(0))
-                .alias("n_slow")
+                eobs,
+                F.sum(F.when(F.col("_cat") == 9, 1).otherwise(0))
+                .alias("n_slow"),
+                F.max("pos").alias("max_pos"),
             ).localCheckpoint(eager=True)
             n_slow = int(eobs.get["n_slow"] or 0)
+            max_pos = int(eobs.get["max_pos"] or 0)
             tick("explode_ckpt")
 
             # --- scope vs the normalized seed(s) (crawler.go:233-249) is
@@ -761,6 +769,17 @@ def crawl(
                 seen = seen.unionByName(p)
             cand = links.select(
                 F.col("outlink").alias("url"), "parent_order", "pos", "depth")
+            # packed-long first-wins when this round's tie-key maxima fit
+            # the 38/14/11-bit layout (driver-known exactly: parent_order
+            # < order_counter, max pos observed on the explode ckpt,
+            # candidate depth <= this round's max final depth + 1) — the
+            # generic struct form is the always-correct fallback
+            if first_wins_packed_bounds(order_counter - 1, max_pos,
+                                        int(om["max_depth"] or 0) + 1):
+                _fw = first_wins_packed
+            else:
+                def _fw(d):
+                    return first_wins(d, "url", ["parent_order", "pos"])
             if 0 < order_counter <= cfg.broadcast_seen_max_urls:
                 # |seen| == order_counter (every enqueued URL, exactly), so
                 # this is an exact driver-side broadcast decision, not an
@@ -770,13 +789,13 @@ def crawl(
                 # exchange. Catalyst can't make this call itself — seen is
                 # a union of checkpointed RDDs with no size stats.
                 cand = cand.join(F.broadcast(seen), "url", "left_anti")
-                new = first_wins(cand, "url", ["parent_order", "pos"])
+                new = _fw(cand)
             elif cfg.disk_seen:
                 # 10^10 exact path: seen stays in its persisted _ub bucket
                 # layout and is read task-side — the only exchange ships
                 # the candidates + a 4-byte bucket key (diskseen.py)
                 from ..operators import diskseen as _dsk
-                deduped = first_wins(cand, "url", ["parent_order", "pos"])
+                deduped = _fw(cand)
                 new = _dsk.disk_seen_anti_join(
                     deduped,
                     seeds_table_dirs + catalog.table_paths("seen_delta"),
@@ -784,7 +803,7 @@ def crawl(
                     extra_seen=seeds_seen_small,
                 )
             else:
-                deduped = first_wins(cand, "url", ["parent_order", "pos"])
+                deduped = _fw(cand)
                 if filters is None:
                     # shuffled-HASH anti, not sort-merge: both sides are
                     # exchanged either way, but SHJ skips both sorts and
@@ -810,7 +829,7 @@ def crawl(
                     cand.write.format("noop").mode("overwrite").save()
                     tick("dbg_plus_anti")
                 elif not cfg.disk_seen:
-                    first_wins(cand, "url", ["parent_order", "pos"]) \
+                    _fw(cand) \
                         .write.format("noop").mode("overwrite").save()
                     tick("dbg_plus_dedup1")
                 new.write.format("noop").mode("overwrite").save()
